@@ -1,0 +1,59 @@
+"""Config -> model builders (reference mmdet/models/builder.py:6-59).
+
+Builds flax modules from registry-keyed config dicts. Detector configs have
+the same shape as the reference's (``backbone``/``neck``/``bbox_head`` +
+``train_cfg``/``test_cfg``).
+"""
+from __future__ import annotations
+
+import copy
+from typing import Dict, Optional
+
+from ..registry import MODELS, build_from_cfg
+
+
+def _build(cfg: Dict, **default_args):
+    return build_from_cfg(cfg, MODELS, default_args or None)
+
+
+def build_backbone(cfg):
+    return _build(copy.deepcopy(dict(cfg)))
+
+
+def build_neck(cfg):
+    return _build(copy.deepcopy(dict(cfg)))
+
+
+def build_head(cfg):
+    return _build(copy.deepcopy(dict(cfg)))
+
+
+def build_loss(cfg):
+    return _build(copy.deepcopy(dict(cfg)))
+
+
+def build_detector(cfg, train_cfg: Optional[Dict] = None,
+                   test_cfg: Optional[Dict] = None):
+    """Build a detector module from a reference-shaped config dict."""
+    cfg = copy.deepcopy(dict(cfg))
+    det_type = cfg.pop('type')
+    backbone_cfg = cfg.pop('backbone')
+    neck_cfg = cfg.pop('neck', None)
+    head_cfg = cfg.pop('bbox_head')
+    train_cfg = cfg.pop('train_cfg', None) if train_cfg is None else train_cfg
+    test_cfg = cfg.pop('test_cfg', None) if test_cfg is None else test_cfg
+
+    backbone = build_backbone(backbone_cfg)
+    neck = build_neck(neck_cfg) if neck_cfg is not None else None
+    bbox_head = build_head(head_cfg)
+
+    det_cls = MODELS.get(det_type)
+    if det_cls is None:
+        raise KeyError(f'{det_type} is not a registered detector')
+    return det_cls(
+        backbone=backbone,
+        neck=neck,
+        bbox_head=bbox_head,
+        train_cfg=dict(train_cfg) if train_cfg else None,
+        test_cfg=dict(test_cfg) if test_cfg else None,
+        **cfg)

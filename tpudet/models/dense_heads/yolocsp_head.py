@@ -1,0 +1,264 @@
+"""YOLOv4/v5 dense head: 1x1 pred convs + shape-static decode/loss.
+
+Capability-parity rebuild of reference
+mmdet/models/dense_heads/yolocsp_head.py:53-594 with TPU-first structure:
+
+- the *network* part is a tiny flax module (one 1x1 conv per level,
+  bias-prior init identical to reference init_weights :187-201);
+- decode (``get_bboxes`` :225-310) is a pure batched function: sigmoid ->
+  ``xy*2-1`` / ``(wh*2)^2`` (:274-275) -> anchor decode -> padded
+  class-aware NMS. No per-image python loop: the whole batch is one XLA
+  program;
+- the assigner-free loss (:384-529) runs over the dense padded match slots
+  from :mod:`tpudet.core.targets` instead of dynamic index triples; means
+  are masked so the numbers match the reference's dynamic-shape means.
+
+Anchor layout matches the reference everywhere: row-major grid cells with
+the base-anchor axis fastest, so NHWC pred maps reshape directly onto the
+anchor axis.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.anchors import YOLOV4AnchorGenerator
+from ...core.bbox import YOLOV4BBoxCoder
+from ...core.nms import NMSResult, batched_nms
+from ...core.targets import responsible_matches
+from ...registry import HEADS
+from .. import losses as L
+
+# COCO default anchors (reference yolocsp_head.py:83-90)
+DEFAULT_BASE_SIZES = (
+    ((12, 16), (19, 36), (40, 28)),  # P3/8
+    ((36, 75), (76, 55), (72, 146)),  # P4/16
+    ((142, 110), (192, 243), (459, 401)),  # P5/32
+)
+
+
+@HEADS.register_module()
+class YOLOCSPHead(nn.Module):
+    num_classes: int
+    in_channels: Sequence[int]
+    base_sizes: Tuple = DEFAULT_BASE_SIZES
+    featmap_strides: Tuple[int, ...] = (8, 16, 32)
+    one_hot_smoother: float = 0.
+    class_agnostic: bool = False
+    # training hyperparams (reference :119-123, overridable via train_cfg)
+    shape_match_thres: float = 4.
+    conf_iou_loss_ratio: float = 1.
+    conf_level_balance: Tuple[float, ...] = (4.0, 1.0, 0.4, 0.1, 0.1)
+    num_obj_avg: int = 8
+    loss_cls_weight: float = 32.
+    loss_conf_weight: float = 64.
+    loss_bbox_weight: float = 3.2
+    dtype: Any = None
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.featmap_strides)
+
+    @property
+    def num_attrib(self) -> int:
+        return 5 if self.class_agnostic else 5 + self.num_classes
+
+    @property
+    def anchor_generator(self) -> YOLOV4AnchorGenerator:
+        return YOLOV4AnchorGenerator(
+            strides=list(self.featmap_strides),
+            base_sizes=[list(b) for b in self.base_sizes])
+
+    def _bias_init(self, level: int):
+        """Objectness/class bias priors (reference init_weights :187-201)."""
+        num_anchors = len(self.base_sizes[level])
+        stride = self.featmap_strides[level]
+        b = np.zeros((num_anchors, self.num_attrib), dtype=np.float32)
+        b[:, 4] = math.log(self.num_obj_avg / (640 / stride)**2)
+        if not self.class_agnostic:
+            b[:, 5:] = math.log(0.6 / (self.num_classes - 0.99))
+        bias = jnp.asarray(b.reshape(-1))
+
+        def init(key, shape, dtype=jnp.float32):
+            assert shape == bias.shape
+            return bias.astype(dtype)
+
+        return init
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        assert len(feats) == self.num_levels
+        pred_maps = []
+        for i in range(self.num_levels):
+            num_anchors = len(self.base_sizes[i])
+            pred = nn.Conv(
+                features=num_anchors * self.num_attrib,
+                kernel_size=(1, 1),
+                use_bias=True,
+                dtype=self.dtype,
+                kernel_init=nn.initializers.normal(stddev=0.01),
+                bias_init=self._bias_init(i),
+                name=f'conv_pred{i}')(feats[i])
+            pred_maps.append(pred)
+        return tuple(pred_maps)
+
+    # ------------------------------------------------------------------
+    # decode / test path (pure functions of pred maps)
+    # ------------------------------------------------------------------
+
+    def decode_pred_maps(self, pred_maps):
+        """All-level decode to (B, N, 4) boxes / (B, N) conf / (B, N, C) cls.
+
+        Reference get_bboxes :252-294, minus NMS.
+        """
+        gen = self.anchor_generator
+        featmap_sizes = [p.shape[1:3] for p in pred_maps]
+        mlvl_anchors = gen.grid_anchors(featmap_sizes)
+
+        boxes, confs, clss = [], [], []
+        for lvl, pred in enumerate(pred_maps):
+            b = pred.shape[0]
+            p = pred.reshape(b, -1, self.num_attrib).astype(jnp.float32)
+            p = jax.nn.sigmoid(p)
+            xy = p[..., 0:2] * 2.0 - 1.0
+            wh = (p[..., 2:4] * 2.0)**2
+            anchors = jnp.asarray(mlvl_anchors[lvl])  # (N, 4) static
+            decoded = YOLOV4BBoxCoder.decode(
+                anchors[None], jnp.concatenate([xy, wh], axis=-1),
+                float(self.featmap_strides[lvl]))
+            boxes.append(decoded)
+            confs.append(p[..., 4])
+            if not self.class_agnostic:
+                clss.append(p[..., 5:])
+        bbox = jnp.concatenate(boxes, axis=1)
+        conf = jnp.concatenate(confs, axis=1)
+        cls = jnp.concatenate(clss, axis=1) if clss else None
+        return bbox, conf, cls
+
+    def get_bboxes(self,
+                   pred_maps,
+                   scale_factors=None,
+                   score_thr: float = 0.001,
+                   iou_thr: float = 0.65,
+                   max_per_img: int = 300,
+                   nms_pre: int = 8192,
+                   with_nms: bool = True):
+        """Batched decode + padded class-aware NMS.
+
+        Args:
+            pred_maps: per-level (B, H, W, A*attrib) raw outputs.
+            scale_factors: optional (B, 4) letterbox scale factors; when
+                given boxes are rescaled to original image space
+                (reference _get_bboxes_single :365-366).
+
+        Returns:
+            NMSResult with (B, max_per_img, ...) padded detections.
+        """
+        bbox, conf, cls = self.decode_pred_maps(pred_maps)
+        # score = cls * conf (reference :358); class-agnostic uses conf only
+        scores = conf[..., None] if cls is None else cls * conf[..., None]
+        if scale_factors is not None:
+            bbox = bbox / scale_factors[:, None, :]
+        if not with_nms:
+            return bbox, scores
+        return batched_nms(bbox, scores, score_thr, iou_thr, max_per_img,
+                           nms_pre=nms_pre)
+
+    # ------------------------------------------------------------------
+    # training loss (assigner-free path)
+    # ------------------------------------------------------------------
+
+    def loss(self,
+             pred_maps,
+             gt_bboxes: jax.Array,
+             gt_labels: jax.Array,
+             gt_valid: jax.Array) -> Dict[str, jax.Array]:
+        """Assigner-free YOLOv5-style loss over dense padded targets.
+
+        Args:
+            pred_maps: per-level (B, H, W, A*attrib) raw outputs.
+            gt_bboxes: (B, G, 4) zero-padded gt boxes, xyxy image coords.
+            gt_labels: (B, G) int class ids (0-based), arbitrary at padding.
+            gt_valid: (B, G) bool.
+
+        Returns:
+            dict with loss_cls / loss_conf / loss_bbox scalars (already
+            weight-scaled and level-balanced, ready to sum) + num_gts.
+        """
+        gen = self.anchor_generator
+        featmap_sizes = [tuple(p.shape[1:3]) for p in pred_maps]
+        mlvl_anchors = gen.grid_anchors(featmap_sizes)
+        anchor_whs = gen.base_anchor_wh()
+
+        total_cls = 0.
+        total_conf = 0.
+        total_bbox = 0.
+        for lvl in range(self.num_levels):
+            pred = pred_maps[lvl].astype(jnp.float32)  # loss in fp32 (:410)
+            b = pred.shape[0]
+            pred = pred.reshape(b, -1, self.num_attrib)
+            n_anchors = pred.shape[1]
+
+            matches = responsible_matches(
+                gt_bboxes, gt_valid, featmap_sizes[lvl],
+                float(self.featmap_strides[lvl]), anchor_whs[lvl],
+                neighbor=2, shape_match_thres=self.shape_match_thres)
+            idx = matches.anchor_idx.reshape(b, -1)  # (B, M)
+            mask = matches.mask.reshape(b, -1).astype(jnp.float32)
+            num_slots_per_gt = idx.shape[1] // gt_bboxes.shape[1]
+
+            pred_pos = jnp.take_along_axis(pred, idx[..., None], axis=1)
+            anchors = jnp.asarray(mlvl_anchors[lvl])
+            anchor_pos = anchors[idx]  # (B, M, 4)
+
+            # decode positives (reference loss_single_no_assigner :503-509)
+            p = jax.nn.sigmoid(pred_pos[..., :4])
+            pxy = p[..., :2] * 2.0 - 1.0
+            pwh = (p[..., 2:4] * 2.0)**2
+            pbox = YOLOV4BBoxCoder.decode(
+                anchor_pos, jnp.concatenate([pxy, pwh], axis=-1),
+                float(self.featmap_strides[lvl]))
+
+            # per-slot targets: slot (g, a, o) -> gt g
+            tbox = jnp.repeat(gt_bboxes, num_slots_per_gt, axis=1)
+            tlabel = jnp.repeat(gt_labels, num_slots_per_gt, axis=1)
+
+            giou_l = L.giou_loss(pbox, tbox, reduction='none')  # (B, M)
+            num_pos = jnp.maximum(jnp.sum(mask), 1.0)
+            total_bbox += (jnp.sum(giou_l * mask) / num_pos *
+                           self.loss_bbox_weight)
+
+            if not self.class_agnostic:
+                tcls = jax.nn.one_hot(tlabel, self.num_classes,
+                                      dtype=jnp.float32)
+                if self.one_hot_smoother != 0:
+                    tcls = (tcls * (1 - self.one_hot_smoother) +
+                            self.one_hot_smoother / self.num_classes)
+                cls_bce = L.binary_cross_entropy_with_logits(
+                    pred_pos[..., 5:], tcls)
+                # reference reduces with plain mean over (k, C) (:521)
+                total_cls += (jnp.sum(cls_bce * mask[..., None]) /
+                              (num_pos * self.num_classes) *
+                              self.loss_cls_weight)
+
+            # IoU-aware conf target (reference :523-525), scatter-max over
+            # duplicate (anchor <- multiple gt) slots
+            r = self.conf_iou_loss_ratio
+            conf_t = (1 - r) + r * jnp.clip(1.0 - giou_l, 0.0, 1.0)
+            conf_t = jax.lax.stop_gradient(conf_t) * mask
+            target_conf = jax.vmap(
+                lambda i, v: jnp.zeros(n_anchors).at[i].max(v))(idx, conf_t)
+            conf_bce = L.binary_cross_entropy_with_logits(
+                pred[..., 4], target_conf)
+            total_conf += (jnp.mean(conf_bce) * self.loss_conf_weight *
+                           self.conf_level_balance[lvl])
+
+        num_gts = jnp.mean(jnp.sum(gt_valid.astype(jnp.float32), axis=1))
+        return dict(loss_cls=total_cls, loss_conf=total_conf,
+                    loss_bbox=total_bbox, num_gts=num_gts)

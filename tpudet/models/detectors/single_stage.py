@@ -1,0 +1,64 @@
+"""Single-stage detector: backbone -> neck -> dense head.
+
+Functional rebuild of reference mmdet/models/detectors/single_stage.py:138
+and the forward-dispatch machinery of base.py:156-254. There is no
+train/test forward branching object here: the flax module computes features
+and pred maps; the pure ``loss``/``get_bboxes`` head methods are applied to
+the outputs by the training/inference drivers.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+
+from ...registry import DETECTORS
+
+
+@DETECTORS.register_module()
+class SingleStageDetector(nn.Module):
+    backbone: nn.Module
+    bbox_head: nn.Module
+    neck: Optional[nn.Module] = None
+    train_cfg: Optional[Dict] = None
+    test_cfg: Optional[Dict] = None
+
+    def extract_feat(self, img, train: bool = False):
+        """backbone(+neck) features (reference single_stage.py:35-41)."""
+        x = self.backbone(img, train)
+        if self.neck is not None:
+            x = self.neck(x, train)
+        return x
+
+    @nn.compact
+    def __call__(self, img, train: bool = False):
+        """img (B, H, W, 3) normalized -> tuple of raw pred maps."""
+        feats = self.extract_feat(img, train)
+        return self.bbox_head(feats, train)
+
+    # convenience passthroughs (pure, no params)
+    def loss(self, pred_maps, gt_bboxes, gt_labels, gt_valid):
+        return self.bbox_head.loss(pred_maps, gt_bboxes, gt_labels, gt_valid)
+
+    def get_bboxes(self, pred_maps, **kwargs):
+        cfg = dict(self.test_cfg or {})
+        nms_cfg = cfg.pop('nms', None)
+        if nms_cfg is not None:
+            cfg['iou_thr'] = nms_cfg.get('iou_threshold', 0.65)
+        cfg.pop('min_bbox_size', None)
+        nms_pre = cfg.pop('nms_pre', -1)
+        if nms_pre and nms_pre > 0:
+            cfg['nms_pre'] = nms_pre
+        cfg.update(kwargs)
+        return self.bbox_head.get_bboxes(pred_maps, **cfg)
+
+
+@DETECTORS.register_module()
+class YOLOV4(SingleStageDetector):
+    """Named alias, mirroring reference detector registry breadth."""
+
+
+@DETECTORS.register_module()
+class YOLOV5(SingleStageDetector):
+    pass

@@ -1,0 +1,90 @@
+"""Mish activation: ``x * tanh(softplus(x))``.
+
+The reference ships a fused CUDA/C++ kernel for this
+(mmdet/ops/mish_cuda/src/mish.h:33-49, fp16 computed as fp32, softplus
+overflow-guarded at THRESHOLD=20) because torch would otherwise materialize
+intermediates. On TPU the calculus is different: XLA fuses the whole
+expression into the consumer/producer HLO (typically the conv epilogue), so
+the idiomatic "kernel" is plain jnp — zero extra HBM traffic. A Pallas
+version is provided for measurement and as the template for future fused
+epilogues; `mish` points at the jnp path.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def mish_reference(x: jax.Array) -> jax.Array:
+    """Numerically-stable mish, computed in fp32 like the reference kernel
+    (mish.h:37-42: fp16/bf16 inputs are upcast for the transcendental)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    # jax.nn.softplus == log1p(exp(-|x|)) + max(x, 0): stable for large |x|,
+    # matching the reference's THRESHOLD=20 guard (mish.h:13).
+    out = xf * jnp.tanh(jax.nn.softplus(xf))
+    return out.astype(dtype)
+
+
+mish = mish_reference
+
+
+def _mish_fwd_kernel(x_ref, o_ref):
+    x = x_ref[...].astype(jnp.float32)
+    o_ref[...] = (x * jnp.tanh(jax.nn.softplus(x))).astype(o_ref.dtype)
+
+
+def _mish_bwd_kernel(x_ref, g_ref, o_ref):
+    x = x_ref[...].astype(jnp.float32)
+    g = g_ref[...].astype(jnp.float32)
+    sp = jax.nn.softplus(x)
+    tsp = jnp.tanh(sp)
+    # d/dx [x*tanh(softplus(x))] = tsp + x * (1-tsp^2) * sigmoid(x)
+    grad = tsp + x * (1.0 - tsp * tsp) * jax.nn.sigmoid(x)
+    o_ref[...] = (g * grad).astype(o_ref.dtype)
+
+
+def _pallas_elementwise(kernel, out_dtype, *arrays):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = arrays[0]
+    flat = [a.reshape(-1) for a in arrays]
+    n = flat[0].shape[0]
+    # pad to (rows, 1024) lanes-aligned tiles
+    width = 1024
+    rows = -(-n // width)
+    padded = [jnp.pad(a, (0, rows * width - n)).reshape(rows, width)
+              for a in flat]
+    block_rows = min(rows, 2048)
+    grid = (-(-rows // block_rows),)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, width), out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, width), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM) for _ in padded
+        ],
+        out_specs=pl.BlockSpec((block_rows, width), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )(*padded)
+    return out.reshape(-1)[:n].reshape(x.shape)
+
+
+@jax.custom_vjp
+def mish_pallas(x: jax.Array) -> jax.Array:
+    """Pallas elementwise mish with a custom VJP (fwd saves only ``x``,
+    mirroring the reference autograd wrapper mish.py:10-30)."""
+    return _pallas_elementwise(_mish_fwd_kernel, x.dtype, x)
+
+
+def _mish_pallas_fwd(x):
+    return mish_pallas(x), x
+
+
+def _mish_pallas_bwd(x, g):
+    return (_pallas_elementwise(_mish_bwd_kernel, x.dtype, x, g),)
+
+
+mish_pallas.defvjp(_mish_pallas_fwd, _mish_pallas_bwd)
