@@ -2,12 +2,18 @@
 
 The reference fakes distribution with mocks (SURVEY.md §4); here multi-chip
 code paths run for real on 8 virtual CPU devices.
+
+A persistent compilation cache keeps repeat test runs fast on this 1-core
+host (first run pays XLA compiles; reruns hit the cache).
 """
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
 os.environ.setdefault('JAX_ENABLE_X64', '0')
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/.cache/jax')
+os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '0.5')
+os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES', '0')

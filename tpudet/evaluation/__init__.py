@@ -1,0 +1,9 @@
+from .mean_ap import (average_precision, iou_coco, match_coco,
+                      eval_map_flexible, FlexibleStatisticsEval,
+                      NoBreakdown, ScaleBreakdown, coco_fast_bbox_eval)
+
+__all__ = [
+    'average_precision', 'iou_coco', 'match_coco', 'eval_map_flexible',
+    'FlexibleStatisticsEval', 'NoBreakdown', 'ScaleBreakdown',
+    'coco_fast_bbox_eval'
+]

@@ -1,0 +1,107 @@
+"""Train state + the single pjit'd train step.
+
+The reference's training-correctness-critical interplay (SURVEY.md §3.4:
+warmup hook mutates lr/momentum -> AMP fwd/bwd with grad accumulation ->
+optimizer step -> EMA fold; DDP all-reduces grads) collapses into ONE pure
+jitted function over a data-sharded mesh:
+
+- grads come out of ``jax.grad`` of a loss whose batch means are *global*
+  means (the batch axis is sharded, XLA inserts the all-reduce over ICI);
+- BN statistics are likewise global-batch statistics -> SyncBN for free;
+- lr/momentum schedules are jnp functions of ``state.step``;
+- EMA is a functional fold carried in the state.
+
+No DDP wrapper, no hook ordering, no GradScaler — the whole per-iteration
+pipeline is one XLA program.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from .ema import ema_momentum, ema_update
+from .optim import SGDState, YoloSGDConfig, make_yolo_sgd
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    ema_params: Any
+    ema_batch_stats: Any
+    opt_state: SGDState
+
+
+def create_train_state(model, rng, sample_img, opt_cfg: YoloSGDConfig):
+    """Initialize params/BN stats/EMA copies/momentum buffers."""
+    variables = jax.jit(model.init)(rng, sample_img)
+    params = variables['params']
+    batch_stats = variables.get('batch_stats', {})
+    init_fn, _ = make_yolo_sgd(opt_cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        ema_params=jax.tree.map(lambda x: x, params),
+        ema_batch_stats=jax.tree.map(lambda x: x, batch_stats),
+        opt_state=init_fn(params))
+
+
+def make_train_step(model,
+                    opt_cfg: YoloSGDConfig,
+                    ema_momentum_base: float = 0.9999,
+                    ema_warm_up: int = 2000,
+                    ema_interval: int = 1,
+                    loss_fn: Optional[Callable] = None):
+    """Build the pure train step: (state, batch) -> (state, metrics).
+
+    ``batch`` is a dict with ``img`` (B, H, W, 3) and padded gts
+    (``gt_bboxes`` (B, G, 4), ``gt_labels`` (B, G), ``gt_valid`` (B, G)).
+
+    Note on DP semantics: the reference averages positive-sample losses
+    per-GPU then lets DDP average grads across GPUs; here masked means are
+    over the *global* positive set — equivalent when positives are balanced
+    and strictly better-behaved when they are not.
+    """
+    _, opt_update = make_yolo_sgd(opt_cfg)
+
+    def default_loss(params, batch_stats, batch):
+        pred_maps, mutated = model.apply(
+            {'params': params, 'batch_stats': batch_stats},
+            batch['img'], train=True, mutable=['batch_stats'])
+        losses = model.loss(pred_maps, batch['gt_bboxes'],
+                            batch['gt_labels'], batch['gt_valid'])
+        total = sum(v for k, v in losses.items() if k.startswith('loss'))
+        return total, (losses, mutated['batch_stats'])
+
+    compute_loss = loss_fn or default_loss
+
+    def train_step(state: TrainState, batch: Dict):
+        grad_fn = jax.value_and_grad(compute_loss, has_aux=True)
+        (total, (losses, new_batch_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch)
+
+        new_params, new_opt_state, opt_metrics = opt_update(
+            grads, state.opt_state, state.params, state.step)
+
+        m_t = ema_momentum(state.step, ema_momentum_base, ema_warm_up,
+                           ema_interval)
+        new_ema_params = ema_update(state.ema_params, new_params, m_t)
+        new_ema_stats = ema_update(state.ema_batch_stats, new_batch_stats,
+                                   m_t)
+
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats,
+            ema_params=new_ema_params,
+            ema_batch_stats=new_ema_stats,
+            opt_state=new_opt_state)
+        metrics = dict(loss=total, **losses, **opt_metrics)
+        return new_state, metrics
+
+    return train_step
