@@ -17,3 +17,10 @@ os.environ.setdefault('JAX_ENABLE_X64', '0')
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/.cache/jax')
 os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '0.5')
 os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES', '0')
+
+# This image's sitecustomize force-registers a remote TPU PJRT plugin
+# ('axon') and overrides jax_platforms, which would silently route every
+# test op over the network tunnel. Pin the platform back to host CPU.
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')

@@ -1,0 +1,8 @@
+from .inference import Detector, init_detector, inference_detector
+from .train import train_detector
+from .test import single_device_test
+
+__all__ = [
+    'Detector', 'init_detector', 'inference_detector', 'train_detector',
+    'single_device_test'
+]

@@ -1,0 +1,145 @@
+"""Inference API mirroring the reference's public surface
+(mmdet/apis/inference.py:16 init_detector, :89 inference_detector).
+
+``init_detector(config, checkpoint)`` returns a :class:`Detector` bundling
+the flax module, its variables, the compiled end-to-end program
+(forward -> decode -> NMS for the whole batch) and the test pipeline.
+``inference_detector`` accepts an image path or ndarray and returns the
+reference's result format: a list of per-class (n, 5) numpy arrays.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+from ..config import Config
+from ..data.dataset import COCO_CLASSES
+from ..data.pipelines import Compose
+from ..models.builder import build_detector
+from ..utils.checkpoint import load_variables
+
+
+class Detector:
+    """A built detector + weights + compiled inference program."""
+
+    def __init__(self, model, variables, cfg: Optional[Config] = None,
+                 classes: Sequence[str] = COCO_CLASSES):
+        import jax
+
+        self.model = model
+        self.variables = variables
+        self.cfg = cfg
+        self.CLASSES = tuple(classes)
+        test_pipeline = None
+        if cfg is not None and 'data' in cfg:
+            test_pipeline = cfg['data']['test']['pipeline']
+        if test_pipeline is None:
+            test_pipeline = [
+                dict(type='LoadImageFromFile'),
+                dict(type='MultiScaleFlipAug', img_scale=(640, 640),
+                     flip=False,
+                     transforms=[
+                         dict(type='Resize', keep_ratio=True),
+                         dict(type='RandomFlip'),
+                         dict(type='Pad', size_divisor=32),
+                         dict(type='Normalize', mean=[114, 114, 114],
+                              std=[255, 255, 255], to_rgb=True),
+                     ])
+            ]
+        self.pipeline = Compose(test_pipeline)
+
+        @functools.partial(jax.jit, static_argnames=('rescale',))
+        def _infer(variables, img, scale_factor, rescale=True):
+            pred_maps = self.model.apply(variables, img)
+            return self.model.get_bboxes(
+                pred_maps,
+                scale_factors=scale_factor if rescale else None)
+
+        self._infer = _infer
+
+    def __call__(self, img: np.ndarray, scale_factor: np.ndarray,
+                 rescale: bool = True):
+        return self._infer(self.variables, img, scale_factor,
+                           rescale=rescale)
+
+
+def init_detector(config: Union[str, Config, Dict],
+                  checkpoint: Optional[str] = None,
+                  classes: Sequence[str] = COCO_CLASSES) -> Detector:
+    """Build a detector from config (+ optional checkpoint), eval-ready.
+
+    Reference analogue: apis/inference.py:16-60 (build, load_checkpoint,
+    CLASSES from meta, eval mode — eval mode is implicit here: inference
+    uses running BN stats by construction).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if isinstance(config, str):
+        config = Config.fromfile(config)
+    cfg = config if isinstance(config, Config) else Config(dict(model=config))
+    model = build_detector(cfg['model'])
+    if checkpoint is not None:
+        variables, meta = load_variables(checkpoint)
+        classes = meta.get('CLASSES', classes)
+    else:
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                        jnp.zeros((1, 64, 64, 3)))
+    return Detector(model, variables, cfg, classes)
+
+
+def _prepare_image(detector: Detector, img: Union[str, np.ndarray]):
+    if isinstance(img, str):
+        results = detector.pipeline(
+            dict(img_info=dict(filename=img), img_prefix=None))
+    else:
+        results = dict(
+            img=img, img_shape=img.shape, ori_shape=img.shape,
+            pad_shape=img.shape,
+            scale_factor=np.ones(4, np.float32),
+            img_fields=['img'], bbox_fields=[])
+        # skip the loader stage of the pipeline
+        for t in detector.pipeline.transforms[1:]:
+            results = t(results)
+    return results
+
+
+def inference_detector(detector: Detector,
+                       img: Union[str, np.ndarray],
+                       pad_to: Optional[int] = 640) -> List[np.ndarray]:
+    """Single-image inference returning per-class (n, 5) arrays
+    (reference apis/inference.py:89-152 contract)."""
+    results = _prepare_image(detector, img)
+    image = results['img'].astype(np.float32)
+    if pad_to is not None:
+        h, w = image.shape[:2]
+        canvas = np.zeros((pad_to, pad_to, 3), np.float32)
+        canvas[:h, :w] = image
+        image = canvas
+    batch_img = image[None]
+    scale_factor = np.asarray(results['scale_factor'],
+                              np.float32).reshape(1, 4)
+    res = detector(batch_img, scale_factor, rescale=True)
+    return nms_result_to_per_class(res, len(detector.CLASSES))[0]
+
+
+def nms_result_to_per_class(res, num_classes: int) -> List[List[np.ndarray]]:
+    """Padded NMSResult -> reference bbox2result format
+    (per image, per class (n, 5) arrays; detectors/base.py bbox2result)."""
+    bboxes = np.asarray(res.bboxes)
+    scores = np.asarray(res.scores)
+    labels = np.asarray(res.labels)
+    valid = np.asarray(res.valid)
+    out = []
+    for i in range(bboxes.shape[0]):
+        per_cls = []
+        v = valid[i]
+        dets = np.concatenate([bboxes[i][v], scores[i][v][:, None]],
+                              axis=-1).astype(np.float32)
+        lab = labels[i][v]
+        for c in range(num_classes):
+            per_cls.append(dets[lab == c])
+        out.append(per_cls)
+    return out

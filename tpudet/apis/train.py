@@ -1,0 +1,182 @@
+"""Training driver (reference mmdet/apis/train.py:37 analogue).
+
+Replaces the mmcv Runner + prioritized-hook machinery with a plain loop
+around ONE jitted train step; everything the reference attaches as hooks
+(cosine LR, detailed warmup, grad clip, EMA, checkpointing, eval) is
+either inside the step (schedules/EMA) or an explicit call here
+(checkpoint/eval). Resume is restart-idempotent like the reference's
+hard-coded ``resume_from=latest`` pattern (SURVEY.md §5).
+"""
+from __future__ import annotations
+
+import os.path as osp
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.dataset import build_dataset
+from ..data.loader import DetDataLoader
+from ..evaluation.mean_ap import coco_fast_bbox_eval
+from ..models.builder import build_detector
+from ..parallel.mesh import jit_train_step, make_mesh, replicate, shard_batch
+from ..train.optim import YoloSGDConfig
+from ..train.train_state import create_train_state, make_train_step
+from ..utils.checkpoint import (latest_step, load_train_state,
+                                save_train_state, save_variables)
+from ..utils.logging import get_root_logger
+from .test import single_device_test
+
+
+def opt_config_from_cfg(cfg: Config, total_steps: int,
+                        steps_per_epoch: int) -> YoloSGDConfig:
+    opt = cfg.get('optimizer', {})
+    lr_cfg = cfg.get('lr_config', {})
+    warm = {}
+    for hook in cfg.get('custom_hooks', []):
+        if hook.get('type') == 'DetailedLinearWarmUpHook':
+            warm = hook
+    clip = cfg.get('optimizer_config', {}).get('grad_clip', {}) or {}
+    return YoloSGDConfig(
+        lr=opt.get('lr', 0.01),
+        momentum=opt.get('momentum', 0.937),
+        weight_decay=opt.get('weight_decay', 5e-4),
+        nesterov=opt.get('nesterov', True),
+        total_steps=total_steps,
+        min_lr_ratio=lr_cfg.get('min_lr_ratio', 0.2),
+        warmup_iters=warm.get('warmup_iters', 10000),
+        lr_weight_warmup_ratio=warm.get('lr_weight_warmup_ratio', 0.),
+        lr_bias_warmup_ratio=warm.get('lr_bias_warmup_ratio', 10.),
+        momentum_warmup_ratio=warm.get('momentum_warmup_ratio', 0.95),
+        grad_clip_norm=clip.get('max_norm', 35.0),
+        steps_per_epoch=steps_per_epoch)
+
+
+def train_detector(cfg: Config,
+                   work_dir: str,
+                   max_steps: Optional[int] = None,
+                   resume: bool = True,
+                   eval_interval: Optional[int] = None) -> Dict:
+    """Config-driven training. Returns final metrics dict."""
+    logger = get_root_logger(osp.join(work_dir, 'train.log'))
+
+    dataset = build_dataset(cfg['data']['train'])
+    n_dev = jax.device_count()
+    per_dev = cfg['data'].get('samples_per_gpu', 8)
+    global_batch = per_dev * n_dev
+    max_epochs = cfg.get('runner', {}).get('max_epochs', 300)
+
+    loader = DetDataLoader(
+        dataset, batch_size=global_batch,
+        max_gts=cfg['data'].get('max_gts', 120),
+        img_size=cfg['data'].get('train_img_size', 640),
+        num_workers=cfg['data'].get('workers_per_gpu', 2),
+        process_index=jax.process_index(),
+        process_count=jax.process_count())
+    steps_per_epoch = len(loader)
+    total_steps = steps_per_epoch * max_epochs
+    if max_steps is not None:
+        total_steps = min(total_steps, max_steps)
+
+    model = build_detector(cfg['model'])
+    opt_cfg = opt_config_from_cfg(cfg, total_steps, steps_per_epoch)
+
+    ema_cfg = {}
+    for hook in cfg.get('custom_hooks', []):
+        if hook.get('type') == 'StateEMAHook':
+            ema_cfg = hook
+    nominal = cfg.get('nominal_batch_size', global_batch)
+    ema_interval = max(1, -(-nominal // global_batch))
+
+    img_size = cfg['data'].get('train_img_size', 640)
+    state = create_train_state(model, jax.random.PRNGKey(cfg.get('seed', 0)),
+                               jnp.zeros((1, img_size, img_size, 3)), opt_cfg)
+    mesh = make_mesh()
+    train_step = make_train_step(
+        model, opt_cfg,
+        ema_momentum_base=ema_cfg.get('momentum', 0.9999),
+        ema_warm_up=ema_cfg.get('warm_up', 2000),
+        ema_interval=ema_interval)
+    step_fn = jit_train_step(train_step, mesh)
+
+    ckpt_dir = osp.join(work_dir, 'ckpts')
+    start_step = 0
+    if resume:
+        last = latest_step(ckpt_dir)
+        if last is not None:
+            state = load_train_state(
+                ckpt_dir, jax.tree.map(ocp_abstract, state), last)
+            start_step = last
+            logger.info(f'resumed from step {last}')
+
+    state = replicate(state, mesh)
+    ckpt_interval_epochs = cfg.get('checkpoint_config', {}).get('interval', 5)
+    eval_interval = eval_interval if eval_interval is not None else cfg.get(
+        'evaluation', {}).get('interval', 1)
+    log_interval = cfg.get('log_config', {}).get('interval', 50)
+
+    metrics = {}
+    step = start_step
+    t0 = time.time()
+    for epoch in range(start_step // max(steps_per_epoch, 1), max_epochs):
+        loader.set_epoch(epoch)
+        for batch in loader:
+            batch.pop('img_metas', None)
+            batch.pop('scale_factor', None)
+            state, metrics = step_fn(state, shard_batch(batch, mesh))
+            step += 1
+            if step % log_interval == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                rate = log_interval * global_batch / (time.time() - t0)
+                t0 = time.time()
+                logger.info(
+                    f'epoch {epoch} step {step}/{total_steps} '
+                    f'loss {m["loss"]:.4f} (cls {m.get("loss_cls", 0):.4f} '
+                    f'conf {m.get("loss_conf", 0):.4f} '
+                    f'bbox {m.get("loss_bbox", 0):.4f}) '
+                    f'lr {m["lr"]:.5f} gnorm {m["grad_norm"]:.2f} '
+                    f'img/s {rate:.1f}')
+            if max_steps is not None and step >= max_steps:
+                break
+        if jax.process_index() == 0 and \
+                (epoch + 1) % ckpt_interval_epochs == 0:
+            save_train_state(ckpt_dir, jax.device_get(state), step)
+        if eval_interval and (epoch + 1) % eval_interval == 0 and \
+                'val' in cfg.get('data', {}):
+            evaluate_ema(cfg, model, state, logger)
+        if max_steps is not None and step >= max_steps:
+            break
+
+    if jax.process_index() == 0:
+        # publish EMA weights for inference (reference: EMA swap before
+        # CheckpointHook, ema_hooks.py:97-126)
+        save_variables(
+            osp.join(work_dir, 'latest_ema.msgpack'),
+            {'params': jax.device_get(state.ema_params),
+             'batch_stats': jax.device_get(state.ema_batch_stats)},
+            meta=dict(step=step, CLASSES=list(dataset.CLASSES)))
+    return {k: float(v) for k, v in metrics.items()}
+
+
+def ocp_abstract(x):
+    return jax.ShapeDtypeStruct(np.shape(x), x.dtype)
+
+
+def evaluate_ema(cfg, model, state, logger):
+    """Eval with EMA weights (the reference's swap trick, dissolved)."""
+    val_dataset = build_dataset({**cfg['data']['val'], 'test_mode': True})
+    variables = {'params': state.ema_params,
+                 'batch_stats': state.ema_batch_stats}
+    results = single_device_test(
+        model, variables, val_dataset,
+        batch_size=cfg['data'].get('samples_per_gpu', 8))
+    annotations = [
+        val_dataset.get_ann_info_test(i) for i in range(len(val_dataset))
+    ]
+    report = coco_fast_bbox_eval(results, annotations,
+                                 classes=val_dataset.CLASSES)
+    logger.info('eval: ' + ' '.join(f'{k}={v:.4f}' for k, v in report.items()))
+    return report

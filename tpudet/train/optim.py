@@ -79,7 +79,7 @@ def warmup_factors(step, cfg: YoloSGDConfig):
     momentum value.
     """
     prog = jnp.clip(step / max(cfg.warmup_iters, 1), 0.0, 1.0)
-    in_warmup = step <= cfg.warmup_iters
+    in_warmup = (step <= cfg.warmup_iters) & (cfg.warmup_iters > 0)
     w_scale = prog + (1 - prog) * cfg.lr_weight_warmup_ratio
     b_scale = prog + (1 - prog) * cfg.lr_bias_warmup_ratio
     m_scale = prog + (1 - prog) * cfg.momentum_warmup_ratio
