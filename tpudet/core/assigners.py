@@ -1,0 +1,65 @@
+"""Dense, shape-static assigners for the generic anchor path.
+
+Rebuild of reference mmdet/core/bbox/assigners/max_iou_assigner.py:212 as a
+vectorized computation over padded gts: instead of an AssignResult with
+dynamic positive lists, every anchor gets an int code
+(-2 ignore / -1 negative / >=0 matched gt index). Semantics preserved:
+
+- anchor is positive to its argmax gt when max IoU >= pos_iou_thr;
+- negative when max IoU < neg_iou_thr (scalar threshold case);
+- in-between -> ignore;
+- low-quality matching: each gt claims its best anchor(s) (ties included,
+  IoU >= min_pos_iou), later gts overriding earlier ones exactly like the
+  reference's sequential loop.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .bbox import bbox_overlaps
+
+IGNORE = -2
+NEGATIVE = -1
+
+
+def max_iou_assign(anchors: jnp.ndarray,
+                   gt_bboxes: jnp.ndarray,
+                   gt_valid: jnp.ndarray,
+                   pos_iou_thr: float = 0.5,
+                   neg_iou_thr: float = 0.4,
+                   min_pos_iou: float = 0.0,
+                   match_low_quality: bool = True) -> jnp.ndarray:
+    """Single image. anchors (A, 4), gt (G, 4) padded, gt_valid (G,).
+
+    Returns (A,) int32 assignment codes.
+    """
+    ious = bbox_overlaps(anchors, gt_bboxes)  # (A, G)
+    ious = jnp.where(gt_valid[None, :], ious, -1.0)
+
+    max_iou = jnp.max(ious, axis=1)
+    argmax_gt = jnp.argmax(ious, axis=1).astype(jnp.int32)
+
+    assigned = jnp.full(anchors.shape[0], IGNORE, jnp.int32)
+    assigned = jnp.where(max_iou < neg_iou_thr, NEGATIVE, assigned)
+    assigned = jnp.where(max_iou >= pos_iou_thr, argmax_gt, assigned)
+
+    if match_low_quality:
+        # per-gt best anchors (ties), IoU >= min_pos_iou; later gts override
+        # (reference max_iou_assigner.py loop order)
+        gt_max = jnp.max(ious, axis=0)  # (G,)
+        is_best = (ious == gt_max[None, :]) & gt_valid[None, :] & (
+            gt_max[None, :] >= min_pos_iou) & (gt_max[None, :] > 0)
+        g_idx = jnp.arange(gt_bboxes.shape[0], dtype=jnp.int32)
+        # highest gt index claiming this anchor, -1 if none
+        claim = jnp.max(jnp.where(is_best, g_idx[None, :], -1), axis=1)
+        assigned = jnp.where(claim >= 0, claim, assigned)
+    # anchors with no valid gt at all: negative
+    assigned = jnp.where(jnp.any(gt_valid), assigned, NEGATIVE)
+    return assigned
+
+
+max_iou_assign_batch = jax.vmap(max_iou_assign,
+                                in_axes=(None, 0, 0, None, None, None, None))

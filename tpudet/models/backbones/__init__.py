@@ -1,7 +1,8 @@
 from .darknet_csp import (DarknetCSP, Bottleneck, BottleneckCSP,
                           BottleneckCSP2, SPPV4, SPPV5, Focus)
+from .resnet import ResNet
 
 __all__ = [
     'DarknetCSP', 'Bottleneck', 'BottleneckCSP', 'BottleneckCSP2', 'SPPV4',
-    'SPPV5', 'Focus'
+    'SPPV5', 'Focus', 'ResNet'
 ]

@@ -1,0 +1,128 @@
+"""ResNet backbone family (flax.linen, NHWC).
+
+Capability rebuild of reference mmdet/models/backbones/resnet.py (the
+depth-table design: BasicBlock for 18/34, Bottleneck for 50/101/152,
+deep_stem option, out_indices, style='pytorch' stride placement).
+Needed for the generic anchor path (RetinaNet config, SURVEY.md §2.7).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ...registry import BACKBONES
+
+BN_MOMENTUM = 0.9  # torch BN default momentum 0.1
+BN_EPS = 1e-5
+
+
+def bn(train: bool, dtype=None, name=None):
+    return nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                        epsilon=BN_EPS, dtype=dtype, name=name)
+
+
+def conv(features, kernel, stride=1, dtype=None, name=None):
+    pad = kernel // 2
+    return nn.Conv(features, (kernel, kernel), (stride, stride),
+                   padding=[(pad, pad), (pad, pad)], use_bias=False,
+                   dtype=dtype, kernel_init=nn.initializers.he_normal(),
+                   name=name)
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        out = conv(self.planes, 3, self.stride, self.dtype, 'conv1')(x)
+        out = bn(train, self.dtype, 'bn1')(out)
+        out = nn.relu(out)
+        out = conv(self.planes, 3, 1, self.dtype, 'conv2')(out)
+        out = bn(train, self.dtype, 'bn2')(out)
+        if self.downsample:
+            identity = conv(self.planes, 1, self.stride, self.dtype,
+                            'ds_conv')(x)
+            identity = bn(train, self.dtype, 'ds_bn')(identity)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    expansion: int = 4
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        # style='pytorch': stride on the 3x3 (reference resnet.py Bottleneck)
+        out = conv(self.planes, 1, 1, self.dtype, 'conv1')(x)
+        out = bn(train, self.dtype, 'bn1')(out)
+        out = nn.relu(out)
+        out = conv(self.planes, 3, self.stride, self.dtype, 'conv2')(out)
+        out = bn(train, self.dtype, 'bn2')(out)
+        out = nn.relu(out)
+        out = conv(self.planes * self.expansion, 1, 1, self.dtype,
+                   'conv3')(out)
+        out = bn(train, self.dtype, 'bn3')(out)
+        if self.downsample:
+            identity = conv(self.planes * self.expansion, 1, self.stride,
+                            self.dtype, 'ds_conv')(x)
+            identity = bn(train, self.dtype, 'ds_bn')(identity)
+        return nn.relu(out + identity)
+
+
+@BACKBONES.register_module()
+class ResNet(nn.Module):
+    depth: int = 50
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    base_channels: int = 64
+    dtype: Any = None
+
+    arch_settings = {
+        18: (BasicBlock, (2, 2, 2, 2)),
+        34: (BasicBlock, (3, 4, 6, 3)),
+        50: (Bottleneck, (3, 4, 6, 3)),
+        101: (Bottleneck, (3, 4, 23, 3)),
+        152: (Bottleneck, (3, 8, 36, 3)),
+    }
+
+    @classmethod
+    def out_channels(cls, depth, out_indices):
+        block, _ = cls.arch_settings[depth]
+        exp = 4 if block is Bottleneck else 1
+        return tuple(64 * 2**i * exp for i in out_indices)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        block_cls, stage_blocks = self.arch_settings[self.depth]
+        x = nn.Conv(self.base_channels, (7, 7), (2, 2),
+                    padding=[(3, 3), (3, 3)], use_bias=False,
+                    dtype=self.dtype,
+                    kernel_init=nn.initializers.he_normal(),
+                    name='stem_conv')(x)
+        x = bn(train, self.dtype, 'stem_bn')(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), (2, 2), padding=[(1, 1), (1, 1)])
+
+        outs = []
+        for i, num_blocks in enumerate(stage_blocks):
+            planes = self.base_channels * 2**i
+            for j in range(num_blocks):
+                stride = 2 if (i > 0 and j == 0) else 1
+                expansion = 4 if block_cls is Bottleneck else 1
+                needs_ds = (j == 0 and
+                            (stride != 1
+                             or x.shape[-1] != planes * expansion))
+                x = block_cls(planes, stride, needs_ds, dtype=self.dtype,
+                              name=f'layer{i + 1}_{j}')(x, train)
+            if i in self.out_indices:
+                outs.append(x)
+        return tuple(outs)

@@ -1,3 +1,4 @@
 from .yolocsp_head import YOLOCSPHead
+from .retina_head import RetinaHead
 
-__all__ = ['YOLOCSPHead']
+__all__ = ['YOLOCSPHead', 'RetinaHead']

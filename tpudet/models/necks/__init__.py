@@ -1,3 +1,4 @@
 from .yolo_neck_csp import YOLOV4Neck, YOLOV5Neck
+from .fpn import FPN
 
-__all__ = ['YOLOV4Neck', 'YOLOV5Neck']
+__all__ = ['YOLOV4Neck', 'YOLOV5Neck', 'FPN']
