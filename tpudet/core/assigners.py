@@ -63,3 +63,49 @@ def max_iou_assign(anchors: jnp.ndarray,
 
 max_iou_assign_batch = jax.vmap(max_iou_assign,
                                 in_axes=(None, 0, 0, None, None, None, None))
+
+
+def grid_assign(anchors: jnp.ndarray,
+                responsible: jnp.ndarray,
+                gt_bboxes: jnp.ndarray,
+                gt_valid: jnp.ndarray,
+                pos_iou_thr: float = 0.5,
+                neg_iou_thr: float = 0.5,
+                min_pos_iou: float = 0.0) -> jnp.ndarray:
+    """YOLOv3 GridAssigner as a dense computation
+    (reference mmdet/core/bbox/assigners/grid_assigner.py:10-150):
+
+    1. default ignore;
+    2. anchors with max IoU <= neg_iou_thr -> negative;
+    3. responsible anchors with (responsible-masked) max IoU > pos_iou_thr
+       -> that argmax gt;
+    4. each gt claims its best responsible anchor(s) (ties,
+       IoU > min_pos_iou), later gts override.
+    """
+    ious = bbox_overlaps(anchors, gt_bboxes)  # (A, G)
+    ious = jnp.where(gt_valid[None, :], ious, -1.0)
+
+    max_all = jnp.max(ious, axis=1)
+    assigned = jnp.full(anchors.shape[0], IGNORE, jnp.int32)
+    assigned = jnp.where((max_all >= 0) & (max_all <= neg_iou_thr), NEGATIVE,
+                         assigned)
+
+    resp_ious = jnp.where(responsible[:, None], ious, -1.0)
+    max_resp = jnp.max(resp_ious, axis=1)
+    argmax_resp = jnp.argmax(resp_ious, axis=1).astype(jnp.int32)
+    pos = (max_resp > pos_iou_thr) & responsible
+    assigned = jnp.where(pos, argmax_resp, assigned)
+
+    # step 4: per-gt best responsible anchor(s)
+    gt_max = jnp.max(resp_ious, axis=0)  # (G,)
+    is_best = (resp_ious == gt_max[None, :]) & gt_valid[None, :] & (
+        gt_max[None, :] > min_pos_iou)
+    g_idx = jnp.arange(gt_bboxes.shape[0], dtype=jnp.int32)
+    claim = jnp.max(jnp.where(is_best, g_idx[None, :], -1), axis=1)
+    assigned = jnp.where(claim >= 0, claim, assigned)
+    assigned = jnp.where(jnp.any(gt_valid), assigned, NEGATIVE)
+    return assigned
+
+
+grid_assign_batch = jax.vmap(
+    grid_assign, in_axes=(None, 0, 0, 0, None, None, None))

@@ -113,6 +113,45 @@ class DeltaXYWHBBoxCoder:
         return jnp.stack([x1, y1, x2, y2], axis=-1)
 
 
+@BBOX_CODERS.register_module()
+class YOLOBBoxCoder:
+    """YOLOv3 coder (reference mmdet/core/bbox/coder/yolo_bbox_coder.py):
+    xy encoded as in-cell offset in [eps, 1-eps] (sigmoid-space target),
+    wh as log scale vs anchor."""
+
+    def __init__(self, eps: float = 1e-6):
+        self.eps = eps
+
+    def encode(self, bboxes, gt_bboxes, stride):
+        x_c = (bboxes[..., 0] + bboxes[..., 2]) * 0.5
+        y_c = (bboxes[..., 1] + bboxes[..., 3]) * 0.5
+        w = bboxes[..., 2] - bboxes[..., 0]
+        h = bboxes[..., 3] - bboxes[..., 1]
+        gx = (gt_bboxes[..., 0] + gt_bboxes[..., 2]) * 0.5
+        gy = (gt_bboxes[..., 1] + gt_bboxes[..., 3]) * 0.5
+        gw = gt_bboxes[..., 2] - gt_bboxes[..., 0]
+        gh = gt_bboxes[..., 3] - gt_bboxes[..., 1]
+        w_t = jnp.log(jnp.clip(gw / w, self.eps, None))
+        h_t = jnp.log(jnp.clip(gh / h, self.eps, None))
+        x_t = jnp.clip((gx - x_c) / stride + 0.5, self.eps, 1 - self.eps)
+        y_t = jnp.clip((gy - y_c) / stride + 0.5, self.eps, 1 - self.eps)
+        return jnp.stack([x_t, y_t, w_t, h_t], axis=-1)
+
+    @staticmethod
+    def decode(bboxes, pred_bboxes, stride):
+        """pred xy already sigmoided to (0,1); wh raw log-scale."""
+        x_c = (bboxes[..., 0] + bboxes[..., 2]) * 0.5
+        y_c = (bboxes[..., 1] + bboxes[..., 3]) * 0.5
+        w = bboxes[..., 2] - bboxes[..., 0]
+        h = bboxes[..., 3] - bboxes[..., 1]
+        xp = (pred_bboxes[..., 0] - 0.5) * stride + x_c
+        yp = (pred_bboxes[..., 1] - 0.5) * stride + y_c
+        wp = jnp.exp(pred_bboxes[..., 2]) * w
+        hp = jnp.exp(pred_bboxes[..., 3]) * h
+        return jnp.stack((xp - wp / 2, yp - hp / 2, xp + wp / 2,
+                          yp + hp / 2), axis=-1)
+
+
 def _area(boxes):
     return ((boxes[..., 2] - boxes[..., 0]) *
             (boxes[..., 3] - boxes[..., 1]))

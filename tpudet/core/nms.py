@@ -48,24 +48,16 @@ def _pairwise_iou_one_to_many(box, boxes, eps=1e-6):
     return overlap / jnp.maximum(area1 + area2 - overlap, eps)
 
 
-def nms_padded(boxes: jax.Array,
-               scores: jax.Array,
-               iou_threshold: float,
-               max_out: int,
-               valid: Optional[jax.Array] = None):
-    """Greedy hard-NMS over a padded candidate set.
+def nms_padded_scan(boxes: jax.Array,
+                    scores: jax.Array,
+                    iou_threshold: float,
+                    max_out: int,
+                    valid: Optional[jax.Array] = None):
+    """Greedy hard-NMS as a sequential scan (one pick per step).
 
-    Args:
-        boxes: (K, 4) xyxy (already class-offset for class-aware NMS).
-        scores: (K,) candidate scores.
-        iou_threshold: suppression threshold (strictly-greater suppresses,
-            matching the reference CUDA kernel).
-        max_out: number of scan steps == max detections returned.
-        valid: optional (K,) bool mask of real (non-padding) candidates.
-
-    Returns:
-        keep_idx: (max_out,) int32 indices into the candidate axis.
-        keep_valid: (max_out,) bool, False once candidates are exhausted.
+    Reference semantics, O(max_out * K) work but *sequential* in max_out —
+    kept as the obviously-correct implementation the fixed-point version
+    is tested against.
     """
     k = boxes.shape[0]
     alive = jnp.ones((k,), dtype=bool) if valid is None else valid
@@ -82,6 +74,83 @@ def nms_padded(boxes: jax.Array,
 
     _, (keep_idx, keep_valid) = jax.lax.scan(
         step, alive, None, length=max_out)
+    return keep_idx, keep_valid
+
+
+def nms_padded(boxes: jax.Array,
+               scores: jax.Array,
+               iou_threshold: float,
+               max_out: int,
+               valid: Optional[jax.Array] = None):
+    """Greedy hard-NMS over a padded candidate set — fixed-point form.
+
+    Greedy NMS is the unique fixed point of
+        keep_i = valid_i and not exists j < i (score order):
+                    keep_j and iou(i, j) > thr,
+    so instead of picking one box per sequential step (the CUDA kernel's
+    and `nms_padded_scan`'s shape), we Jacobi-iterate the whole keep vector
+    with fully-vectorized suppression sweeps. Ranks settle in score order,
+    so the loop converges to the exact greedy solution in at most
+    longest-suppression-chain iterations (typically < 10 on detections vs
+    300 sequential steps) — a much better fit for the VPU. IoU is
+    recomputed per sweep from the (K, 4) boxes; XLA fuses the
+    broadcast-compare-reduce so the K x K matrix is never materialized in
+    HBM.
+
+    Args:
+        boxes: (K, 4) xyxy (already class-offset for class-aware NMS).
+        scores: (K,) candidate scores.
+        iou_threshold: suppression threshold (strictly-greater suppresses,
+            matching the reference CUDA kernel).
+        max_out: number of detections returned (padded).
+        valid: optional (K,) bool mask of real (non-padding) candidates.
+
+    Returns:
+        keep_idx: (max_out,) int32 indices into the candidate axis.
+        keep_valid: (max_out,) bool, False once candidates are exhausted.
+    """
+    k = boxes.shape[0]
+    vmask = jnp.ones((k,), dtype=bool) if valid is None else valid
+    masked_scores = jnp.where(vmask, scores, NEG_INF)
+    svals, order = jax.lax.top_k(masked_scores, k)  # score-desc candidates
+    sboxes = boxes[order]
+    svalid = svals > NEG_INF / 2
+
+    area = ((sboxes[:, 2] - sboxes[:, 0]) *
+            (sboxes[:, 3] - sboxes[:, 1]))
+    rank = jnp.arange(k)
+
+    def suppressed_by(keep):
+        # for each i: does any kept higher-ranked j suppress it?
+        lt = jnp.maximum(sboxes[:, None, :2], sboxes[None, :, :2])
+        rb = jnp.minimum(sboxes[:, None, 2:], sboxes[None, :, 2:])
+        wh = jnp.clip(rb - lt, 0, None)
+        inter = wh[..., 0] * wh[..., 1]
+        iou = inter / jnp.maximum(area[:, None] + area[None, :] - inter,
+                                  1e-6)
+        m = (iou > iou_threshold) & (rank[None, :] < rank[:, None]) & \
+            keep[None, :]
+        return jnp.any(m, axis=1)
+
+    def cond(state):
+        keep, changed = state
+        return changed
+
+    def body(state):
+        keep, _ = state
+        new_keep = svalid & ~suppressed_by(keep)
+        return new_keep, jnp.any(new_keep != keep)
+
+    keep, _ = jax.lax.while_loop(cond, body, (svalid, jnp.bool_(True)))
+
+    kept_scores = jnp.where(keep, svals, NEG_INF)
+    m = min(max_out, k)
+    top_vals, top_pos = jax.lax.top_k(kept_scores, m)
+    keep_idx = order[top_pos].astype(jnp.int32)
+    keep_valid = top_vals > NEG_INF / 2
+    if m < max_out:
+        keep_idx = jnp.pad(keep_idx, (0, max_out - m))
+        keep_valid = jnp.pad(keep_valid, (0, max_out - m))
     return keep_idx, keep_valid
 
 

@@ -1,8 +1,9 @@
 from .darknet_csp import (DarknetCSP, Bottleneck, BottleneckCSP,
                           BottleneckCSP2, SPPV4, SPPV5, Focus)
 from .resnet import ResNet
+from .darknet import Darknet
 
 __all__ = [
     'DarknetCSP', 'Bottleneck', 'BottleneckCSP', 'BottleneckCSP2', 'SPPV4',
-    'SPPV5', 'Focus', 'ResNet'
+    'SPPV5', 'Focus', 'ResNet', 'Darknet'
 ]

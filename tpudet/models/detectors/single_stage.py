@@ -65,6 +65,20 @@ class YOLOV5(SingleStageDetector):
 
 
 @DETECTORS.register_module()
+class YOLOV3(SingleStageDetector):
+    """YOLOv3 (reference mmdet/models/detectors/yolo.py)."""
+
+    def get_bboxes(self, pred_maps, **kwargs):
+        cfg = dict(self.test_cfg or {})
+        nms_cfg = cfg.pop('nms', None)
+        if nms_cfg is not None:
+            cfg['iou_thr'] = nms_cfg.get('iou_threshold', 0.45)
+        cfg.pop('min_bbox_size', None)
+        cfg.update(kwargs)
+        return self.bbox_head.get_bboxes(pred_maps, **cfg)
+
+
+@DETECTORS.register_module()
 class RetinaNet(SingleStageDetector):
     """Generic anchor path (reference mmdet/models/detectors/retinanet.py)."""
 

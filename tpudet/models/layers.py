@@ -33,7 +33,8 @@ def get_activation(act: Optional[Union[str, dict]]) -> Optional[Callable]:
     """Resolve an activation by the reference's config names."""
     if act is None:
         return None
-    if isinstance(act, dict):
+    from collections.abc import Mapping
+    if isinstance(act, Mapping):  # dict or flax FrozenDict module field
         name = act['type']
         kwargs = {k: v for k, v in act.items() if k != 'type'}
     else:
