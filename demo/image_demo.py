@@ -1,5 +1,8 @@
 #!/usr/bin/env python
 """Single-image detection demo (reference demo/image_demo.py analogue)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 
 

@@ -1,4 +1,6 @@
 #!/usr/bin/env python
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 """Pure-inference throughput benchmark
 (reference tools/analysis_tools/benchmark.py analogue: network forward +
 post-processing, data loading excluded, warmup then steady-state timing)."""

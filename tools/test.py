@@ -1,4 +1,6 @@
 #!/usr/bin/env python
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 """COCO-val evaluation of a trained detector
 (reference tools/test.py analogue; metric 'fast-bbox' by default)."""
 import argparse

@@ -5,6 +5,9 @@ No --launcher flag: multi-host runs call jax.distributed.initialize via
 --coordinator/--num-processes/--process-id (or rely on TPU auto-detection),
 and the same script is simply started once per host.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import os.path as osp
 

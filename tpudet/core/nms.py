@@ -116,29 +116,28 @@ def nms_padded(boxes: jax.Array,
     sboxes = boxes[order]
     svalid = svals > NEG_INF / 2
 
+    # precompute the strictly-upper suppression matrix ONCE:
+    # M[i, j] = True if higher-ranked j would suppress i when kept.
+    # float32 IoU intermediates live only inside this one fused block;
+    # the persistent buffer is K x K bool.
     area = ((sboxes[:, 2] - sboxes[:, 0]) *
             (sboxes[:, 3] - sboxes[:, 1]))
+    lt = jnp.maximum(sboxes[:, None, :2], sboxes[None, :, :2])
+    rb = jnp.minimum(sboxes[:, None, 2:], sboxes[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    iou = inter / jnp.maximum(area[:, None] + area[None, :] - inter, 1e-6)
     rank = jnp.arange(k)
-
-    def suppressed_by(keep):
-        # for each i: does any kept higher-ranked j suppress it?
-        lt = jnp.maximum(sboxes[:, None, :2], sboxes[None, :, :2])
-        rb = jnp.minimum(sboxes[:, None, 2:], sboxes[None, :, 2:])
-        wh = jnp.clip(rb - lt, 0, None)
-        inter = wh[..., 0] * wh[..., 1]
-        iou = inter / jnp.maximum(area[:, None] + area[None, :] - inter,
-                                  1e-6)
-        m = (iou > iou_threshold) & (rank[None, :] < rank[:, None]) & \
-            keep[None, :]
-        return jnp.any(m, axis=1)
+    suppress = (iou > iou_threshold) & (rank[None, :] < rank[:, None])
 
     def cond(state):
-        keep, changed = state
+        _, changed = state
         return changed
 
     def body(state):
         keep, _ = state
-        new_keep = svalid & ~suppressed_by(keep)
+        suppressed = jnp.any(suppress & keep[None, :], axis=1)
+        new_keep = svalid & ~suppressed
         return new_keep, jnp.any(new_keep != keep)
 
     keep, _ = jax.lax.while_loop(cond, body, (svalid, jnp.bool_(True)))
