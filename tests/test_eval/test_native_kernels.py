@@ -1,0 +1,67 @@
+"""Native C++ eval kernels must agree exactly with the numpy reference
+implementations on random inputs (incl. crowd/ignore semantics)."""
+import numpy as np
+import pytest
+
+from tpudet.ops import native
+
+
+@pytest.fixture(scope='module')
+def lib():
+    lib = native.load()
+    if lib is None:
+        pytest.skip('no compiler available for the native kernels')
+    return lib
+
+
+def numpy_iou(det, gt, crowd):
+    # import the fallback body by calling with native disabled
+    from tpudet.evaluation import mean_ap
+    da = ((det[:, 2] - det[:, 0]) * (det[:, 3] - det[:, 1]))
+    ga = ((gt[:, 2] - gt[:, 0]) * (gt[:, 3] - gt[:, 1]))
+    tl = np.maximum(det[:, None, :2], gt[None, :, :2])
+    br = np.minimum(det[:, None, 2:], gt[None, :, 2:])
+    wh = np.clip(br - tl, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    union = np.where(crowd[None, :], da[:, None],
+                     da[:, None] + ga[None, :] - inter)
+    return np.where(inter > 0, inter / np.maximum(union, 1e-7), 0.)
+
+
+def rand_boxes(n, rng, spread=200.):
+    xy = rng.rand(n, 2).astype(np.float32) * spread
+    wh = rng.rand(n, 2).astype(np.float32) * 60 + 2
+    return np.concatenate([xy, xy + wh], -1)
+
+
+def test_native_iou_matches_numpy(lib):
+    rng = np.random.RandomState(0)
+    det = rand_boxes(40, rng)
+    gt = rand_boxes(15, rng)
+    crowd = rng.rand(15) > 0.7
+    got = native.iou_coco_native(det, gt, crowd)
+    want = numpy_iou(det, gt, crowd)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_native_match_matches_numpy(lib):
+    from tpudet.evaluation.mean_ap import match_coco
+    rng = np.random.RandomState(1)
+    thrs = np.arange(0.5, 1.0, 0.05).astype(np.float32)
+    for seed in range(6):
+        rng = np.random.RandomState(seed)
+        det = rand_boxes(30, rng, 100.)
+        gt = rand_boxes(12, rng, 100.)
+        crowd = rng.rand(12) > 0.8
+        ignore = (rng.rand(12) > 0.7) | crowd
+        iou = numpy_iou(det, gt, crowd).astype(np.float32)
+        got = native.match_coco_native(iou, thrs, ignore, crowd)
+        # run the numpy fallback by temporarily hiding the native module
+        import tpudet.ops.native as nat
+        real = nat.match_coco_native
+        nat.match_coco_native = lambda *a, **k: None
+        try:
+            want = match_coco(iou, thrs, ignore, crowd)
+        finally:
+            nat.match_coco_native = real
+        np.testing.assert_array_equal(got, want)

@@ -153,6 +153,50 @@ def nms_padded(boxes: jax.Array,
     return keep_idx, keep_valid
 
 
+def soft_nms_padded(boxes: jax.Array,
+                    scores: jax.Array,
+                    iou_threshold: float,
+                    max_out: int,
+                    valid: Optional[jax.Array] = None,
+                    sigma: float = 0.5,
+                    min_score: float = 1e-3,
+                    method: str = 'linear'):
+    """Soft-NMS (reachable in the reference via
+    ``nms_cfg=dict(type='soft_nms')`` -> mmcv soft_nms, SURVEY.md §2.7):
+    instead of binary suppression, overlapping candidates have their scores
+    decayed ('linear': ``s *= 1 - iou`` when iou > thr; 'gaussian':
+    ``s *= exp(-iou^2 / sigma)``), and the greedy pick repeats on decayed
+    scores. Sequential by nature -> fixed-trip scan, one pick per step.
+
+    Returns (keep_idx, keep_scores, keep_valid) — scores are the decayed
+    ones, matching mmcv's output.
+    """
+    k = boxes.shape[0]
+    alive_scores = scores if valid is None else jnp.where(
+        valid, scores, NEG_INF)
+
+    def step(state, _):
+        cur = state
+        idx = jnp.argmax(cur)
+        top = cur[idx]
+        ok = top > jnp.maximum(min_score, NEG_INF / 2)
+        box = boxes[idx]
+        iou = _pairwise_iou_one_to_many(box, boxes)
+        if method == 'linear':
+            decay = jnp.where(iou > iou_threshold, 1.0 - iou, 1.0)
+        elif method == 'gaussian':
+            decay = jnp.exp(-(iou * iou) / sigma)
+        else:
+            raise ValueError(method)
+        cur = cur * decay
+        cur = cur.at[idx].set(NEG_INF)  # picked: remove from pool
+        return cur, (idx.astype(jnp.int32), top, ok)
+
+    _, (keep_idx, keep_scores, keep_valid) = jax.lax.scan(
+        step, alive_scores, None, length=max_out)
+    return keep_idx, keep_scores, keep_valid
+
+
 def nms(boxes, scores, iou_threshold, max_out, valid=None):
     """Class-agnostic NMS returning gathered, padded detections."""
     keep_idx, keep_valid = nms_padded(boxes, scores, iou_threshold, max_out,
@@ -168,7 +212,10 @@ def multiclass_nms(bboxes: jax.Array,
                    iou_thr: float,
                    max_per_img: int,
                    nms_pre: int = 4096,
-                   valid: Optional[jax.Array] = None) -> NMSResult:
+                   valid: Optional[jax.Array] = None,
+                   nms_type: str = 'nms',
+                   sigma: float = 0.5,
+                   min_score: float = 1e-3) -> NMSResult:
     """Class-aware NMS for one image, shape-static.
 
     Mirrors reference ``multiclass_nms`` (bbox_nms.py:7): every (box, class)
@@ -213,20 +260,28 @@ def multiclass_nms(bboxes: jax.Array,
     offsets = labels.astype(cand_boxes.dtype) * (max_coord + 1.)
     offset_boxes = cand_boxes + offsets[:, None]
 
-    keep_idx, keep_valid = nms_padded(offset_boxes, top_scores, iou_thr,
-                                      max_per_img, top_valid)
+    if nms_type == 'soft_nms':
+        keep_idx, soft_scores, keep_valid = soft_nms_padded(
+            offset_boxes, top_scores, iou_thr, max_per_img, top_valid,
+            sigma=sigma, min_score=min_score)
+        det_scores = jnp.where(keep_valid, soft_scores, 0.)
+    else:
+        keep_idx, keep_valid = nms_padded(offset_boxes, top_scores, iou_thr,
+                                          max_per_img, top_valid)
+        det_scores = jnp.where(keep_valid, top_scores[keep_idx], 0.)
 
     det_bboxes = jnp.where(keep_valid[:, None], cand_boxes[keep_idx], 0.)
-    det_scores = jnp.where(keep_valid, top_scores[keep_idx], 0.)
     det_labels = jnp.where(keep_valid, labels[keep_idx], -1)
     return NMSResult(det_bboxes, det_scores, det_labels, keep_valid)
 
 
 def batched_nms(bboxes, scores, score_thr, iou_thr, max_per_img,
-                nms_pre=4096, valid=None) -> NMSResult:
+                nms_pre=4096, valid=None, nms_type='nms', sigma=0.5,
+                min_score=1e-3) -> NMSResult:
     """`multiclass_nms` vmapped over a leading batch axis."""
     fn = partial(multiclass_nms, score_thr=score_thr, iou_thr=iou_thr,
-                 max_per_img=max_per_img, nms_pre=nms_pre)
+                 max_per_img=max_per_img, nms_pre=nms_pre,
+                 nms_type=nms_type, sigma=sigma, min_score=min_score)
     if valid is None:
         return jax.vmap(lambda b, s: fn(b, s))(bboxes, scores)
     return jax.vmap(lambda b, s, v: fn(b, s, valid=v))(bboxes, scores, valid)

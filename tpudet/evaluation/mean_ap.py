@@ -58,7 +58,18 @@ def average_precision(recalls, precisions, mode='area'):
 
 def iou_coco(det_boxes: np.ndarray, gt_boxes: np.ndarray,
              is_crowd: np.ndarray) -> np.ndarray:
-    """(D, G) IoU matrix; crowd gts use det-area union (COCO semantics)."""
+    """(D, G) IoU matrix; crowd gts use det-area union (COCO semantics).
+
+    Uses the native C++ kernel (tpudet/ops/native) when available; this
+    numpy body is the reference implementation and fallback.
+    """
+    try:
+        from ..ops.native import iou_coco_native
+        out = iou_coco_native(det_boxes, gt_boxes, is_crowd)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     det_boxes = det_boxes.astype(np.float32)
     gt_boxes = gt_boxes.astype(np.float32)
     det_area = ((det_boxes[:, 2] - det_boxes[:, 0]) *
@@ -82,7 +93,18 @@ def match_coco(iou_mat: np.ndarray, iou_thrs: np.ndarray,
 
     Dets must already be sorted by descending score (the caller sorts, as
     in mean_ap_flexible.py:132-134).
+
+    Uses the native C++ kernel (tpudet/ops/native) when available; this
+    numpy body is the reference implementation and fallback.
     """
+    try:
+        from ..ops.native import match_coco_native
+        out = match_coco_native(iou_mat, np.asarray(iou_thrs, np.float32),
+                                is_ignore, is_crowd)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     num_det, num_gt = iou_mat.shape
     num_thr = len(iou_thrs)
     matched = np.full((num_thr, num_det), -1, dtype=np.int32)

@@ -148,7 +148,10 @@ class YOLOCSPHead(nn.Module):
                    iou_thr: float = 0.65,
                    max_per_img: int = 300,
                    nms_pre: int = 8192,
-                   with_nms: bool = True):
+                   with_nms: bool = True,
+                   nms_type: str = 'nms',
+                   sigma: float = 0.5,
+                   min_score: float = 1e-3):
         """Batched decode + padded class-aware NMS.
 
         Args:
@@ -168,7 +171,8 @@ class YOLOCSPHead(nn.Module):
         if not with_nms:
             return bbox, scores
         return batched_nms(bbox, scores, score_thr, iou_thr, max_per_img,
-                           nms_pre=nms_pre)
+                           nms_pre=nms_pre, nms_type=nms_type, sigma=sigma,
+                           min_score=min_score)
 
     # ------------------------------------------------------------------
     # training loss (assigner-free path)

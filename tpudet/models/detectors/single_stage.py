@@ -46,6 +46,12 @@ class SingleStageDetector(nn.Module):
         nms_cfg = cfg.pop('nms', None)
         if nms_cfg is not None:
             cfg['iou_thr'] = nms_cfg.get('iou_threshold', 0.65)
+            if nms_cfg.get('type', 'nms') != 'nms':
+                cfg['nms_type'] = nms_cfg['type']
+            if 'sigma' in nms_cfg:
+                cfg['sigma'] = nms_cfg['sigma']
+            if 'min_score' in nms_cfg:
+                cfg['min_score'] = nms_cfg['min_score']
         cfg.pop('min_bbox_size', None)
         nms_pre = cfg.pop('nms_pre', -1)
         if nms_pre and nms_pre > 0:
