@@ -46,8 +46,10 @@ def create_train_state(model, rng, sample_img, opt_cfg: YoloSGDConfig):
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=batch_stats,
-        ema_params=jax.tree.map(lambda x: x, params),
-        ema_batch_stats=jax.tree.map(lambda x: x, batch_stats),
+        # real copies, not aliases: donated train-step buffers must be
+        # distinct (f(donate(a), donate(a)) is rejected by the runtime)
+        ema_params=jax.tree.map(jnp.copy, params),
+        ema_batch_stats=jax.tree.map(jnp.copy, batch_stats),
         opt_state=init_fn(params))
 
 
