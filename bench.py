@@ -3,11 +3,16 @@ class-aware NMS) images/sec/chip on the available accelerator.
 
 Protocol mirrors the reference's tools/analysis_tools/benchmark.py (pure
 network + post-processing, excludes data loading; SURVEY.md §6) on padded
-batches. Prints ONE JSON line.
+batches, with one adjustment for this environment: the remote PJRT backend
+executes *independent* dispatches concurrently, so naive loop timing
+under-measures. Each iteration therefore consumes a value derived from the
+previous iteration's output (data-dependency chaining), forcing serial
+execution; timing differences two run lengths to cancel constants.
 
-``vs_baseline`` is measured against the closest published reference-stack
-number: YOLOv4-paper 608-input V100 throughput ~65 img/s (BASELINE.md,
-arXiv 2004.10934) — the reference repo publishes no YOLOv4 numbers itself.
+Prints ONE JSON line. ``vs_baseline`` is against the closest published
+reference-stack number: YOLOv4-paper 608-input V100 throughput ~65 img/s
+(BASELINE.md, arXiv 2004.10934) — the reference repo publishes no YOLOv4
+numbers itself.
 """
 import json
 import time
@@ -22,6 +27,9 @@ def main():
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship_model
+    from tpudet.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     batch = 32
     model = _flagship_model(dtype=jnp.bfloat16)
@@ -30,22 +38,31 @@ def main():
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), img[:1])
 
     @jax.jit
-    def infer(image):
+    def infer_chained(image):
         pred_maps = model.apply(variables, image)
         res = model.get_bboxes(pred_maps)
-        return res.bboxes, res.scores, res.labels, res.valid
+        # fold a scalar from the output back into the next input: forces
+        # iteration k+1 to wait for iteration k on async/overlapping
+        # backends without changing the math measurably
+        s = jnp.sum(res.bboxes).astype(image.dtype) * 1e-12
+        return image + s, res
 
-    # warmup + compile
-    jax.block_until_ready(infer(img))
+    x, res = infer_chained(img)
+    jax.block_until_ready((x, res))
 
-    n_iters = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = infer(img)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    def run(n, x):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            x, out = infer_chained(x)
+        jax.block_until_ready((x, out))
+        return time.perf_counter() - t0, x
 
-    imgs_per_sec = batch * n_iters / dt
+    m = 10
+    t1, x = run(m, x)
+    t2, x = run(2 * m, x)
+    dt = max(t2 - t1, 1e-9)
+    imgs_per_sec = batch * m / dt
     print(json.dumps({
         'metric': 'yolov4l-640 e2e inference (fwd+decode+NMS)',
         'value': round(imgs_per_sec, 2),

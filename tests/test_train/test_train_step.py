@@ -95,6 +95,47 @@ def test_train_step_multidevice_matches_single_device():
     np.testing.assert_allclose(np.asarray(b1), np.asarray(b8), atol=1e-5)
 
 
+def test_grad_accumulation_sums_micro_grads():
+    """accumulation=2 must equal one optimizer step on summed micro-batch
+    grads (reference accum_optim_hooks semantics: backward accumulates,
+    no division)."""
+    model = build_detector(tiny_cfg())
+    opt_cfg = YoloSGDConfig(lr=0.01, total_steps=50, warmup_iters=0)
+    state0 = create_train_state(model, jax.random.PRNGKey(0),
+                                jnp.zeros((1, 64, 64, 3)), opt_cfg)
+    batch = tiny_batch(batch_size=4)
+
+    # manual: grads of each half with sequential BN-stats threading
+    def loss_fn(params, bstats, mb):
+        pred, mut = model.apply({'params': params, 'batch_stats': bstats},
+                                mb['img'], train=True,
+                                mutable=['batch_stats'])
+        losses = model.loss(pred, mb['gt_bboxes'], mb['gt_labels'],
+                            mb['gt_valid'])
+        total = sum(v for k, v in losses.items() if k.startswith('loss'))
+        return total, mut['batch_stats']
+
+    half = {k: v[:2] for k, v in batch.items()}
+    half2 = {k: v[2:] for k, v in batch.items()}
+    g1, bs1 = jax.grad(loss_fn, has_aux=True)(state0.params,
+                                              state0.batch_stats, half)
+    g2, _ = jax.grad(loss_fn, has_aux=True)(state0.params, bs1, half2)
+    summed = jax.tree.map(jnp.add, g1, g2)
+
+    step2 = jax.jit(make_train_step(model, opt_cfg, accumulation=2))
+    s_acc, m_acc = step2(state0, batch)
+
+    # reproduce the update with the summed grads
+    from tpudet.train.optim import make_yolo_sgd
+    _, update = make_yolo_sgd(opt_cfg)
+    want_params, _, _ = update(summed, state0.opt_state, state0.params,
+                               jnp.asarray(0))
+    got = jax.tree.leaves(s_acc.params)[0]
+    want = jax.tree.leaves(want_params)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+    assert np.isfinite(float(m_acc['loss']))
+
+
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)

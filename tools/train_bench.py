@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+"""Training-step throughput benchmark (synthetic batch): measures the
+full pjit'd train step (fwd + bwd + SGD + EMA) images/sec on the current
+device(s). Two-point timing cancels dispatch constants."""
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--scale', default='l', choices=['s', 'l'])
+    p.add_argument('--batch', type=int, default=16)
+    p.add_argument('--img-size', type=int, default=640)
+    p.add_argument('--max-gts', type=int, default=64)
+    p.add_argument('--dtype', default='bfloat16',
+                   choices=['bfloat16', 'float32'])
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_model
+    from tpudet.parallel.mesh import (jit_train_step, make_mesh, replicate,
+                                      shard_batch)
+    from tpudet.train.optim import YoloSGDConfig
+    from tpudet.train.train_state import create_train_state, make_train_step
+
+    dtype = jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32
+    model = _flagship_model(dtype=dtype, scale=args.scale)
+    opt_cfg = YoloSGDConfig(total_steps=10000, warmup_iters=100)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        jnp.zeros((1, args.img_size, args.img_size, 3)), opt_cfg)
+    mesh = make_mesh()
+    step_fn = jit_train_step(make_train_step(model, opt_cfg), mesh,
+                             donate_state=False)
+
+    rng = np.random.RandomState(0)
+    g = args.max_gts
+    b = args.batch
+    xy = rng.rand(b, g, 2).astype(np.float32) * args.img_size * 0.7
+    wh = rng.rand(b, g, 2).astype(np.float32) * 150 + 8
+    batch = dict(
+        img=rng.rand(b, args.img_size, args.img_size, 3).astype(np.float32),
+        gt_bboxes=np.concatenate(
+            [xy, np.minimum(xy + wh, args.img_size)], -1),
+        gt_labels=rng.randint(0, 80, (b, g)).astype(np.int32),
+        gt_valid=rng.rand(b, g) < 0.5,
+    )
+    state = replicate(state, mesh)
+    batch = shard_batch(batch, mesh)
+
+    state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics)
+
+    def run(n):
+        nonlocal state
+        t0 = time.perf_counter()
+        m = None
+        for _ in range(n):
+            state, m = step_fn(state, batch)
+        jax.block_until_ready(m)
+        return time.perf_counter() - t0
+
+    m_iters = 5
+    t1 = run(m_iters)
+    t2 = run(2 * m_iters)
+    dt = max(t2 - t1, 1e-9)
+    img_s = b * m_iters / dt
+    print(json.dumps(dict(
+        metric=f'yolov4{args.scale}-{args.img_size} train step',
+        img_per_sec=round(img_s, 1),
+        ms_per_step=round(dt / m_iters * 1e3, 1),
+        batch=b, dtype=args.dtype,
+        loss=float(metrics['loss']))))
+
+
+if __name__ == '__main__':
+    main()

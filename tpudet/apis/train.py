@@ -32,7 +32,8 @@ from .test import single_device_test
 
 
 def opt_config_from_cfg(cfg: Config, total_steps: int,
-                        steps_per_epoch: int) -> YoloSGDConfig:
+                        steps_per_epoch: int,
+                        accumulation: int = 1) -> YoloSGDConfig:
     opt = cfg.get('optimizer', {})
     lr_cfg = cfg.get('lr_config', {})
     warm = {}
@@ -40,14 +41,23 @@ def opt_config_from_cfg(cfg: Config, total_steps: int,
         if hook.get('type') == 'DetailedLinearWarmUpHook':
             warm = hook
     clip = cfg.get('optimizer_config', {}).get('grad_clip', {}) or {}
+    policy = lr_cfg.get('policy', 'CosineAnnealing').lower()
+    policy = {'cosineannealing': 'cosine', 'step': 'step',
+              'fixed': 'fixed'}.get(policy, 'cosine')
+    decay_epochs = lr_cfg.get('step', ())
     return YoloSGDConfig(
         lr=opt.get('lr', 0.01),
         momentum=opt.get('momentum', 0.937),
         weight_decay=opt.get('weight_decay', 5e-4),
         nesterov=opt.get('nesterov', True),
+        policy=policy,
+        decay_steps=tuple(e * steps_per_epoch for e in decay_epochs),
+        gamma=lr_cfg.get('gamma', 0.1),
         total_steps=total_steps,
         min_lr_ratio=lr_cfg.get('min_lr_ratio', 0.2),
-        warmup_iters=warm.get('warmup_iters', 10000),
+        # config warmup_iters counts data iterations; our step counts
+        # optimizer steps (one per `accumulation` data iterations)
+        warmup_iters=max(1, warm.get('warmup_iters', 10000) // accumulation),
         lr_weight_warmup_ratio=warm.get('lr_weight_warmup_ratio', 0.),
         lr_bias_warmup_ratio=warm.get('lr_bias_warmup_ratio', 10.),
         momentum_warmup_ratio=warm.get('momentum_warmup_ratio', 0.95),
@@ -69,8 +79,14 @@ def train_detector(cfg: Config,
     global_batch = per_dev * n_dev
     max_epochs = cfg.get('runner', {}).get('max_epochs', 300)
 
+    # gradient accumulation toward the nominal batch size
+    # (reference accum_optim_hooks.py:27-35); one train_step == one
+    # optimizer step over `accumulation` scanned micro-batches
+    nominal = cfg.get('nominal_batch_size', global_batch)
+    accumulation = max(1, -(-nominal // global_batch))
+
     loader = DetDataLoader(
-        dataset, batch_size=global_batch,
+        dataset, batch_size=global_batch * accumulation,
         max_gts=cfg['data'].get('max_gts', 120),
         img_size=cfg['data'].get('train_img_size', 640),
         num_workers=cfg['data'].get('workers_per_gpu', 2),
@@ -82,24 +98,27 @@ def train_detector(cfg: Config,
         total_steps = min(total_steps, max_steps)
 
     model = build_detector(cfg['model'])
-    opt_cfg = opt_config_from_cfg(cfg, total_steps, steps_per_epoch)
+    opt_cfg = opt_config_from_cfg(cfg, total_steps, steps_per_epoch,
+                                  accumulation)
 
     ema_cfg = {}
     for hook in cfg.get('custom_hooks', []):
         if hook.get('type') == 'StateEMAHook':
             ema_cfg = hook
-    nominal = cfg.get('nominal_batch_size', global_batch)
-    ema_interval = max(1, -(-nominal // global_batch))
 
     img_size = cfg['data'].get('train_img_size', 640)
     state = create_train_state(model, jax.random.PRNGKey(cfg.get('seed', 0)),
                                jnp.zeros((1, img_size, img_size, 3)), opt_cfg)
     mesh = make_mesh()
+    # EMA fires once per optimizer step; with `step` counting optimizer
+    # steps the reference's warmup curve m(iter) = m*(1-exp(-iter/(w*intv)))
+    # reduces to interval 1 (iter = step * accumulation).
     train_step = make_train_step(
         model, opt_cfg,
         ema_momentum_base=ema_cfg.get('momentum', 0.9999),
         ema_warm_up=ema_cfg.get('warm_up', 2000),
-        ema_interval=ema_interval)
+        ema_interval=1,
+        accumulation=accumulation)
     step_fn = jit_train_step(train_step, mesh)
 
     ckpt_dir = osp.join(work_dir, 'ckpts')
@@ -130,7 +149,8 @@ def train_detector(cfg: Config,
             step += 1
             if step % log_interval == 0:
                 m = {k: float(v) for k, v in metrics.items()}
-                rate = log_interval * global_batch / (time.time() - t0)
+                rate = (log_interval * global_batch * accumulation /
+                        (time.time() - t0))
                 t0 = time.time()
                 logger.info(
                     f'epoch {epoch} step {step}/{total_steps} '

@@ -26,7 +26,18 @@ def mish_reference(x: jax.Array) -> jax.Array:
     return out.astype(dtype)
 
 
-mish = mish_reference
+def mish(x: jax.Array) -> jax.Array:
+    """Dtype-preserving mish: bf16 inputs compute in bf16.
+
+    The reference upcasts fp16 to fp32 because fp16's 5-bit exponent
+    overflows softplus; bf16 shares fp32's 8-bit exponent, so the guard is
+    unnecessary and the upcast would double VPU work across every conv in
+    the network. fp32 inputs still compute in fp32 (bit-compatible with
+    `mish_reference` for parity runs).
+    """
+    if x.dtype == jnp.float32:
+        return mish_reference(x)
+    return x * jnp.tanh(jax.nn.softplus(x))
 
 
 def _mish_fwd_kernel(x_ref, o_ref):

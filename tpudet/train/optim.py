@@ -35,8 +35,11 @@ class YoloSGDConfig(NamedTuple):
     weight_decay: float = 5e-4
     nesterov: bool = True
     # schedule
+    policy: str = 'cosine'  # 'cosine' | 'step' | 'fixed'
     total_steps: int = 100000
     min_lr_ratio: float = 0.2
+    decay_steps: Tuple[int, ...] = ()  # iteration boundaries, 'step' policy
+    gamma: float = 0.1
     warmup_iters: int = 10000
     lr_weight_warmup_ratio: float = 0.
     lr_bias_warmup_ratio: float = 10.
@@ -68,6 +71,24 @@ def cosine_lr(step, cfg: YoloSGDConfig):
     progress = jnp.clip(progress, 0.0, 1.0)
     min_lr = cfg.lr * cfg.min_lr_ratio
     return min_lr + (cfg.lr - min_lr) * 0.5 * (1 + jnp.cos(jnp.pi * progress))
+
+
+def step_lr(step, cfg: YoloSGDConfig):
+    """Step decay at iteration boundaries (mmcv StepLrUpdaterHook)."""
+    n = sum(1 for _ in cfg.decay_steps)
+    if n == 0:
+        return jnp.asarray(cfg.lr)
+    boundaries = jnp.asarray(cfg.decay_steps)
+    k = jnp.sum(step >= boundaries)
+    return cfg.lr * cfg.gamma**k
+
+
+def schedule_lr(step, cfg: YoloSGDConfig):
+    if cfg.policy == 'cosine':
+        return cosine_lr(step, cfg)
+    if cfg.policy == 'step':
+        return step_lr(step, cfg)
+    return jnp.asarray(cfg.lr)
 
 
 def warmup_factors(step, cfg: YoloSGDConfig):
@@ -114,7 +135,7 @@ def make_yolo_sgd(cfg: YoloSGDConfig):
     def update_fn(grads, state: SGDState, params, step):
         labels = jax.tree_util.tree_map_with_path(param_group_label, params)
 
-        base_lr = cosine_lr(step, cfg)
+        base_lr = schedule_lr(step, cfg)
         in_warmup, w_scale, b_scale, m_scale = warmup_factors(step, cfg)
         lr_weight = jnp.where(in_warmup, cfg.lr * w_scale, base_lr)
         lr_bias = jnp.where(in_warmup, cfg.lr * b_scale, base_lr)

@@ -58,11 +58,19 @@ def make_train_step(model,
                     ema_momentum_base: float = 0.9999,
                     ema_warm_up: int = 2000,
                     ema_interval: int = 1,
+                    accumulation: int = 1,
                     loss_fn: Optional[Callable] = None):
     """Build the pure train step: (state, batch) -> (state, metrics).
 
     ``batch`` is a dict with ``img`` (B, H, W, 3) and padded gts
     (``gt_bboxes`` (B, G, 4), ``gt_labels`` (B, G), ``gt_valid`` (B, G)).
+
+    ``accumulation > 1`` splits the leading batch dim into that many
+    micro-batches scanned sequentially, SUMMING gradients between optimizer
+    steps — the reference's semantics exactly (accum_optim_hooks.py:37-60:
+    per-iter backward accumulates, no division). BN stats update per
+    micro-batch, also like the reference. On TPU this trades HBM for a
+    nominal batch larger than memory allows.
 
     Note on DP semantics: the reference averages positive-sample losses
     per-GPU then lets DDP average grads across GPUs; here masked means are
@@ -84,8 +92,26 @@ def make_train_step(model,
 
     def train_step(state: TrainState, batch: Dict):
         grad_fn = jax.value_and_grad(compute_loss, has_aux=True)
-        (total, (losses, new_batch_stats)), grads = grad_fn(
-            state.params, state.batch_stats, batch)
+        if accumulation > 1:
+            micro = jax.tree.map(
+                lambda x: x.reshape((accumulation, -1) + x.shape[1:]),
+                batch)
+
+            def scan_body(carry, mb):
+                acc_grads, bstats = carry
+                (tot, (losses, new_bs)), g = grad_fn(state.params, bstats,
+                                                     mb)
+                acc_grads = jax.tree.map(jnp.add, acc_grads, g)
+                return (acc_grads, new_bs), (tot, losses)
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, new_batch_stats), (totals, loss_seq) = jax.lax.scan(
+                scan_body, (zero_grads, state.batch_stats), micro)
+            total = jnp.mean(totals)
+            losses = jax.tree.map(jnp.mean, loss_seq)
+        else:
+            (total, (losses, new_batch_stats)), grads = grad_fn(
+                state.params, state.batch_stats, batch)
 
         new_params, new_opt_state, opt_metrics = opt_update(
             grads, state.opt_state, state.params, state.step)
