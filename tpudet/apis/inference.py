@@ -125,6 +125,30 @@ def inference_detector(detector: Detector,
     return nms_result_to_per_class(res, len(detector.CLASSES))[0]
 
 
+async def async_inference_detector(detector: Detector,
+                                   img: Union[str, np.ndarray],
+                                   pad_to: Optional[int] = 640):
+    """Async single-image inference (reference apis/inference.py:155).
+
+    JAX dispatch is already asynchronous; this coroutine yields control
+    while the device computes, then fetches.
+    """
+    import asyncio
+
+    results = _prepare_image(detector, img)
+    image = results['img'].astype(np.float32)
+    if pad_to is not None:
+        h, w = image.shape[:2]
+        canvas = np.zeros((pad_to, pad_to, 3), np.float32)
+        canvas[:h, :w] = image
+        image = canvas
+    scale_factor = np.asarray(results['scale_factor'],
+                              np.float32).reshape(1, 4)
+    res = detector(image[None], scale_factor, rescale=True)  # async dispatch
+    await asyncio.sleep(0)  # let other tasks run while the device works
+    return nms_result_to_per_class(res, len(detector.CLASSES))[0]
+
+
 def nms_result_to_per_class(res, num_classes: int) -> List[List[np.ndarray]]:
     """Padded NMSResult -> reference bbox2result format
     (per image, per class (n, 5) arrays; detectors/base.py bbox2result)."""

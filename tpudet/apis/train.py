@@ -97,7 +97,15 @@ def train_detector(cfg: Config,
     if max_steps is not None:
         total_steps = min(total_steps, max_steps)
 
-    model = build_detector(cfg['model'])
+    model_cfg = dict(cfg['model'])
+    if cfg.get('compute_dtype') == 'bfloat16':
+        # bf16 forward with fp32 master params/loss — the TPU replacement
+        # for the reference's AMP/GradScaler config (fp16 = dict(...))
+        for part in ('backbone', 'neck', 'bbox_head'):
+            if model_cfg.get(part) is not None:
+                model_cfg[part] = {**model_cfg[part],
+                                   'dtype': jnp.bfloat16}
+    model = build_detector(model_cfg)
     opt_cfg = opt_config_from_cfg(cfg, total_steps, steps_per_epoch,
                                   accumulation)
 
@@ -139,6 +147,7 @@ def train_detector(cfg: Config,
 
     metrics = {}
     step = start_step
+    best_map = -1.0
     t0 = time.time()
     for epoch in range(start_step // max(steps_per_epoch, 1), max_epochs):
         loader.set_epoch(epoch)
@@ -166,7 +175,19 @@ def train_detector(cfg: Config,
             save_train_state(ckpt_dir, jax.device_get(state), step)
         if eval_interval and (epoch + 1) % eval_interval == 0 and \
                 'val' in cfg.get('data', {}):
-            evaluate_ema(cfg, model, state, logger)
+            report = evaluate_ema(cfg, model, state, logger)
+            # best-checkpoint tracking (reference eval_hooks.py:160)
+            cur = report.get('map', float('nan'))
+            if jax.process_index() == 0 and np.isfinite(cur) and \
+                    cur > best_map:
+                best_map = cur
+                save_variables(
+                    osp.join(work_dir, 'best_ema.msgpack'),
+                    {'params': jax.device_get(state.ema_params),
+                     'batch_stats': jax.device_get(state.ema_batch_stats)},
+                    meta=dict(step=step, map=cur,
+                              CLASSES=list(dataset.CLASSES)))
+                logger.info(f'new best map {cur:.4f} at step {step}')
         if max_steps is not None and step >= max_steps:
             break
 

@@ -148,11 +148,20 @@ class YOLOCSPHead(nn.Module):
                    iou_thr: float = 0.65,
                    max_per_img: int = 300,
                    nms_pre: int = 8192,
+                   anchor_pre: int = 3072,
                    with_nms: bool = True,
                    nms_type: str = 'nms',
                    sigma: float = 0.5,
                    min_score: float = 1e-3):
         """Batched decode + padded class-aware NMS.
+
+        ``anchor_pre`` prunes to the top-k anchors by objectness BEFORE
+        flattening the class axis — score = cls*conf <= conf, so an anchor
+        outside the conf top-k can only carry scores bounded by the kept
+        set's smallest conf (the YOLOv5-repo prefilter; the reference's
+        ``nms_pre`` on the flattened (box, class) pairs would sort
+        ~25k x 80 = 2M candidates, which dominates e2e latency on TPU).
+        Set ``anchor_pre=0`` for the exact unpruned path.
 
         Args:
             pred_maps: per-level (B, H, W, A*attrib) raw outputs.
@@ -164,12 +173,19 @@ class YOLOCSPHead(nn.Module):
             NMSResult with (B, max_per_img, ...) padded detections.
         """
         bbox, conf, cls = self.decode_pred_maps(pred_maps)
+        if 0 < anchor_pre < conf.shape[1]:
+            top_conf, top_idx = jax.lax.top_k(conf, anchor_pre)
+            bbox = jnp.take_along_axis(bbox, top_idx[..., None], axis=1)
+            conf = top_conf
+            if cls is not None:
+                cls = jnp.take_along_axis(cls, top_idx[..., None], axis=1)
         # score = cls * conf (reference :358); class-agnostic uses conf only
         scores = conf[..., None] if cls is None else cls * conf[..., None]
         if scale_factors is not None:
             bbox = bbox / scale_factors[:, None, :]
         if not with_nms:
             return bbox, scores
+        nms_pre = min(nms_pre, scores.shape[1] * scores.shape[2])
         return batched_nms(bbox, scores, score_thr, iou_thr, max_per_img,
                            nms_pre=nms_pre, nms_type=nms_type, sigma=sigma,
                            min_score=min_score)

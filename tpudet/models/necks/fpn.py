@@ -69,3 +69,51 @@ class FPN(nn.Module):
                                 name=f'extra_conv{i}')(src)
                     outs.append(src)
         return tuple(outs)
+
+
+@NECKS.register_module()
+class PAFPN(FPN):
+    """Path-Aggregation FPN (reference mmdet/models/necks/pafpn.py):
+    FPN top-down, then an extra bottom-up path with stride-2 convs and
+    3x3 output convs on the aggregated maps."""
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        assert len(inputs) == len(self.in_channels)
+        used = len(self.in_channels) - self.start_level
+
+        laterals = [
+            _conv(self.out_channels, 1, dtype=self.dtype,
+                  name=f'lateral_conv{i}')(inputs[self.start_level + i])
+            for i in range(used)
+        ]
+        for i in range(used - 1, 0, -1):
+            laterals[i - 1] = laterals[i - 1] + upsample_nearest_2x(
+                laterals[i])
+        inter = [
+            _conv(self.out_channels, 3, dtype=self.dtype,
+                  name=f'fpn_conv{i}')(laterals[i]) for i in range(used)
+        ]
+        # bottom-up augmentation
+        for i in range(used - 1):
+            down = _conv(self.out_channels, 3, stride=2, dtype=self.dtype,
+                         name=f'downsample_conv{i}')(inter[i])
+            inter[i + 1] = inter[i + 1] + down
+        outs = [inter[0]] + [
+            _conv(self.out_channels, 3, dtype=self.dtype,
+                  name=f'pafpn_conv{i}')(inter[i]) for i in range(1, used)
+        ]
+
+        extra = self.num_outs - used
+        if extra > 0:
+            src = (inputs[-1]
+                   if self.add_extra_convs == 'on_input' else outs[-1])
+            for i in range(extra):
+                if not self.add_extra_convs:
+                    outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))
+                else:
+                    src = _conv(self.out_channels, 3, stride=2,
+                                dtype=self.dtype,
+                                name=f'extra_conv{i}')(src)
+                    outs.append(src)
+        return tuple(outs)
