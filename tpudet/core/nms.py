@@ -118,17 +118,31 @@ def nms_padded(boxes: jax.Array,
 
     # precompute the strictly-upper suppression matrix ONCE:
     # M[i, j] = True if higher-ranked j would suppress i when kept.
-    # float32 IoU intermediates live only inside this one fused block;
-    # the persistent buffer is K x K bool.
+    # Built in row blocks so the fp32 IoU intermediate is only ever
+    # (block, K) — the persistent buffer is K x K bool (1 byte/entry).
     area = ((sboxes[:, 2] - sboxes[:, 0]) *
             (sboxes[:, 3] - sboxes[:, 1]))
-    lt = jnp.maximum(sboxes[:, None, :2], sboxes[None, :, :2])
-    rb = jnp.minimum(sboxes[:, None, 2:], sboxes[None, :, 2:])
-    wh = jnp.clip(rb - lt, 0, None)
-    inter = wh[..., 0] * wh[..., 1]
-    iou = inter / jnp.maximum(area[:, None] + area[None, :] - inter, 1e-6)
     rank = jnp.arange(k)
-    suppress = (iou > iou_threshold) & (rank[None, :] < rank[:, None])
+    block = min(k, 512)
+    num_blocks = -(-k // block)
+    pad = num_blocks * block - k
+    rows_boxes = jnp.pad(sboxes, ((0, pad), (0, 0))).reshape(
+        num_blocks, block, 4)
+    rows_area = jnp.pad(area, (0, pad)).reshape(num_blocks, block)
+    rows_rank = jnp.pad(rank, (0, pad)).reshape(num_blocks, block)
+
+    def block_suppress(args):
+        bb, ba, br = args  # (block, 4), (block,), (block,)
+        lt = jnp.maximum(bb[:, None, :2], sboxes[None, :, :2])
+        rb = jnp.minimum(bb[:, None, 2:], sboxes[None, :, 2:])
+        wh = jnp.clip(rb - lt, 0, None)
+        inter = wh[..., 0] * wh[..., 1]
+        iou = inter / jnp.maximum(ba[:, None] + area[None, :] - inter, 1e-6)
+        return (iou > iou_threshold) & (rank[None, :] < br[:, None])
+
+    suppress = jax.lax.map(block_suppress,
+                           (rows_boxes, rows_area, rows_rank))
+    suppress = suppress.reshape(num_blocks * block, k)[:k]
 
     def cond(state):
         _, changed = state

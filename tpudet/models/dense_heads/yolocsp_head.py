@@ -147,8 +147,8 @@ class YOLOCSPHead(nn.Module):
                    score_thr: float = 0.001,
                    iou_thr: float = 0.65,
                    max_per_img: int = 300,
-                   nms_pre: int = 8192,
-                   anchor_pre: int = 3072,
+                   nms_pre: int = 2048,
+                   anchor_pre: int = 2048,
                    with_nms: bool = True,
                    nms_type: str = 'nms',
                    sigma: float = 0.5,
