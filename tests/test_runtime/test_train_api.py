@@ -100,6 +100,22 @@ def make_cfg(root, ann):
         seed=0))
 
 
+def test_train_detector_device_aug(tiny_coco_dir, tmp_path):
+    """On-device mosaic/affine/HSV training path end-to-end."""
+    root, ann = tiny_coco_dir
+    cfg = make_cfg(root, ann)
+    cfg['data']['device_aug'] = dict(
+        pad_to=192, crop=128, scale_limit=0.5, pad_val=114.)
+    cfg['data']['train']['pipeline'] = [
+        dict(type='LoadImageFromFile'),
+        dict(type='LoadAnnotations', with_bbox=True),
+        dict(type='Resize', img_scale=(64, 64), keep_ratio=True),
+    ]
+    from tpudet.apis.train import train_detector
+    metrics = train_detector(cfg, str(tmp_path), max_steps=2, resume=False)
+    assert np.isfinite(metrics['loss'])
+
+
 def test_train_detector_end_to_end(tiny_coco_dir, tmp_path):
     root, ann = tiny_coco_dir
     cfg = make_cfg(root, ann)

@@ -85,13 +85,24 @@ def train_detector(cfg: Config,
     nominal = cfg.get('nominal_batch_size', global_batch)
     accumulation = max(1, -(-nominal // global_batch))
 
-    loader = DetDataLoader(
-        dataset, batch_size=global_batch * accumulation,
-        max_gts=cfg['data'].get('max_gts', 120),
-        img_size=cfg['data'].get('train_img_size', 640),
-        num_workers=cfg['data'].get('workers_per_gpu', 2),
-        process_index=jax.process_index(),
-        process_count=jax.process_count())
+    device_aug = cfg['data'].get('device_aug')  # dict -> on-device mosaic
+    if device_aug is not None:
+        from ..data.loader import MosaicTileLoader
+        loader = MosaicTileLoader(
+            dataset, batch_size=global_batch * accumulation,
+            tile_size=cfg['data'].get('train_img_size', 640),
+            max_gts_per_tile=cfg['data'].get('max_gts', 120) // 4,
+            num_workers=cfg['data'].get('workers_per_gpu', 2),
+            process_index=jax.process_index(),
+            process_count=jax.process_count())
+    else:
+        loader = DetDataLoader(
+            dataset, batch_size=global_batch * accumulation,
+            max_gts=cfg['data'].get('max_gts', 120),
+            img_size=cfg['data'].get('train_img_size', 640),
+            num_workers=cfg['data'].get('workers_per_gpu', 2),
+            process_index=jax.process_index(),
+            process_count=jax.process_count())
     steps_per_epoch = len(loader)
     total_steps = steps_per_epoch * max_epochs
     if max_steps is not None:
@@ -121,12 +132,34 @@ def train_detector(cfg: Config,
     # EMA fires once per optimizer step; with `step` counting optimizer
     # steps the reference's warmup curve m(iter) = m*(1-exp(-iter/(w*intv)))
     # reduces to interval 1 (iter = step * accumulation).
+    loss_fn = None
+    if device_aug is not None:
+        from ..data.device_aug import device_mosaic_affine
+        aug_kwargs = {k: v for k, v in dict(device_aug).items()}
+        aug_kwargs.setdefault('out_size',
+                              cfg['data'].get('train_img_size', 640))
+
+        def loss_fn(params, batch_stats, batch):
+            aug = device_mosaic_affine(
+                batch['tiles'], batch['tile_hw'], batch['gt_bboxes'],
+                batch['gt_valid'], batch['gt_labels'], batch['aug_seed'],
+                **aug_kwargs)
+            pred_maps, mutated = model.apply(
+                {'params': params, 'batch_stats': batch_stats},
+                aug['img'], train=True, mutable=['batch_stats'])
+            losses = model.loss(pred_maps, aug['gt_bboxes'],
+                                aug['gt_labels'], aug['gt_valid'])
+            total = sum(v for k, v in losses.items()
+                        if k.startswith('loss'))
+            return total, (losses, mutated['batch_stats'])
+
     train_step = make_train_step(
         model, opt_cfg,
         ema_momentum_base=ema_cfg.get('momentum', 0.9999),
         ema_warm_up=ema_cfg.get('warm_up', 2000),
         ema_interval=1,
-        accumulation=accumulation)
+        accumulation=accumulation,
+        loss_fn=loss_fn)
     step_fn = jit_train_step(train_step, mesh)
 
     ckpt_dir = osp.join(work_dir, 'ckpts')

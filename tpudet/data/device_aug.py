@@ -236,7 +236,13 @@ def device_mosaic_affine(tiles: jnp.ndarray,
         img = (img[..., ::-1] - 114.0) / 255.0  # BGR->RGB, normalize
         return img, clipped, clabels, keep
 
-    keys = jax.random.split(rng, tiles.shape[0])
+    if jnp.issubdtype(jnp.asarray(rng).dtype, jnp.integer) and \
+            jnp.asarray(rng).ndim == 1:
+        # per-image int seeds (loader-friendly: shards over the batch axis)
+        keys = jax.vmap(
+            lambda s: jax.random.fold_in(jax.random.PRNGKey(0), s))(rng)
+    else:
+        keys = jax.random.split(rng, tiles.shape[0])
     img, boxes, labels, valid = jax.vmap(one)(
         tiles, tile_hw, gt_bboxes, gt_valid, gt_labels, keys)
     return dict(img=img, gt_bboxes=boxes, gt_labels=labels, gt_valid=valid)

@@ -127,3 +127,78 @@ class DetDataLoader:
             if item is None:
                 return
             yield item
+
+
+class MosaicTileLoader(DetDataLoader):
+    """Loader for the on-device augmentation path: the host pipeline only
+    decodes + letterboxes tiles (uint8 BGR, no mosaic/affine/normalize);
+    each batch element carries 4 tiles (self + 3 same-group partners,
+    reference MosaicPipeline partner sampling custom.py:181-191) and the
+    jitted :func:`tpudet.data.device_aug.device_mosaic_affine` does the
+    rest on device. Host->device traffic is uint8 tiles — 4x lighter than
+    normalized float32 canvases.
+    """
+
+    def __init__(self, dataset, batch_size, tile_size: int = 640,
+                 max_gts_per_tile: int = 40, **kwargs):
+        super().__init__(dataset, batch_size, img_size=tile_size, **kwargs)
+        self.tile_size = tile_size
+        self.max_gts_per_tile = max_gts_per_tile
+        self._seed_rng = np.random.RandomState(self.seed + 7919)
+
+    def set_epoch(self, epoch: int):
+        super().set_epoch(epoch)
+        self._seed_rng = np.random.RandomState(self.seed + 7919 + epoch)
+
+    def _collate(self, samples) -> Dict[str, np.ndarray]:
+        b = len(samples)
+        s = self.tile_size
+        g = self.max_gts_per_tile
+        tiles = np.zeros((b, 4, s, s, 3), np.uint8)
+        tile_hw = np.zeros((b, 4, 2), np.int32)
+        gt_bboxes = np.zeros((b, 4, g, 4), np.float32)
+        gt_labels = np.zeros((b, 4, g), np.int32)
+        gt_valid = np.zeros((b, 4, g), bool)
+        for i, tile_group in enumerate(samples):
+            for q_idx, t in enumerate(tile_group):
+                img = t['img']
+                h, w = img.shape[:2]
+                tiles[i, q_idx, :h, :w] = img
+                tile_hw[i, q_idx] = (h, w)
+                boxes = t.get('gt_bboxes')
+                if boxes is not None and len(boxes):
+                    n = min(len(boxes), g)
+                    gt_bboxes[i, q_idx, :n] = boxes[:n]
+                    gt_labels[i, q_idx, :n] = t['gt_labels'][:n]
+                    gt_valid[i, q_idx, :n] = True
+        # per-image aug seeds: deterministic in (loader seed, epoch, draw)
+        seeds = self._seed_rng.randint(0, 2**31 - 1, size=b).astype(np.int32)
+        return dict(tiles=tiles, tile_hw=tile_hw, gt_bboxes=gt_bboxes,
+                    gt_labels=gt_labels, gt_valid=gt_valid, aug_seed=seeds)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        indices = self._indices()
+        nb = len(self)
+        q: Queue = Queue(maxsize=self.prefetch)
+        batches = [
+            indices[i * self.batch_size:(i + 1) * self.batch_size]
+            for i in range(nb)
+        ]
+
+        def load_group(idx: int):
+            partners = [idx] + self.dataset.batch_rand_others(idx, 3)
+            return [self.dataset[int(i)] for i in partners]
+
+        def worker():
+            for batch_idx in batches:
+                q.put(self._collate([load_group(int(i))
+                                     for i in batch_idx]))
+            q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item

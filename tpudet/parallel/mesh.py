@@ -50,9 +50,21 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict, mesh: Mesh, axis_name: str = 'data') -> Dict:
-    """Place a host batch dict with per-array batch-dim sharding."""
-    sharding = data_sharding(mesh, axis_name)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    """Place a host batch dict with per-array batch-dim sharding.
+
+    Leaves whose leading dim does not divide over the mesh (e.g. a PRNG
+    key, scalars) are replicated instead.
+    """
+    n = mesh.devices.size
+    data = data_sharding(mesh, axis_name)
+    rep = replicated_sharding(mesh)
+
+    def place(x):
+        shardable = (getattr(x, 'ndim', 0) >= 1 and x.shape[0] > 0
+                     and x.shape[0] % n == 0)
+        return jax.device_put(x, data if shardable else rep)
+
+    return jax.tree.map(place, batch)
 
 
 def replicate(tree, mesh: Mesh):
@@ -63,13 +75,13 @@ def replicate(tree, mesh: Mesh):
 
 def jit_train_step(train_step, mesh: Mesh, axis_name: str = 'data',
                    donate_state: bool = True):
-    """jit the (state, batch) -> (state, metrics) step with explicit
-    shardings: replicated state, data-sharded batch. Gradient/BN-stat
-    all-reduces are compiler-inserted (no DDP object — SURVEY.md §2.2)."""
+    """jit the (state, batch) -> (state, metrics) step. Input shardings
+    follow the committed placements from :func:`replicate` /
+    :func:`shard_batch` (replicated state, data-sharded batch); outputs are
+    pinned replicated. Gradient/BN-stat all-reduces are compiler-inserted
+    (no DDP object — SURVEY.md §2.2)."""
     rep = replicated_sharding(mesh)
-    data = data_sharding(mesh, axis_name)
     return jax.jit(
         train_step,
-        in_shardings=(rep, data),
         out_shardings=(rep, rep),
         donate_argnums=(0,) if donate_state else ())
