@@ -48,14 +48,17 @@ def main():
         return image + s, res
 
     x, res = infer_chained(img)
-    jax.block_until_ready((x, res))
+    float(jnp.sum(res.scores))  # host fetch: the only reliable sync here
 
     def run(n, x):
         t0 = time.perf_counter()
         out = None
         for _ in range(n):
             x, out = infer_chained(x)
-        jax.block_until_ready((x, out))
+        # fetch a scalar derived from the LAST output: forces completion of
+        # the whole chain (block_until_ready can return early on this
+        # remote backend)
+        float(jnp.sum(out.scores))
         return time.perf_counter() - t0, x
 
     m = 10

@@ -56,7 +56,7 @@ def main():
     batch = shard_batch(batch, mesh)
 
     state, metrics = step_fn(state, batch)
-    jax.block_until_ready(metrics)
+    float(metrics['loss'])  # fetch: the only reliable sync on this backend
 
     def run(n):
         nonlocal state
@@ -64,7 +64,7 @@ def main():
         m = None
         for _ in range(n):
             state, m = step_fn(state, batch)
-        jax.block_until_ready(m)
+        float(m['loss'])  # host fetch forces completion of the chain
         return time.perf_counter() - t0
 
     m_iters = 5
