@@ -109,3 +109,68 @@ def grid_assign(anchors: jnp.ndarray,
 
 grid_assign_batch = jax.vmap(
     grid_assign, in_axes=(None, 0, 0, 0, None, None, None))
+
+
+def atss_assign(anchors: jnp.ndarray,
+                num_level_anchors,
+                gt_bboxes: jnp.ndarray,
+                gt_valid: jnp.ndarray,
+                topk: int = 9) -> jnp.ndarray:
+    """ATSS assigner as a dense computation
+    (reference mmdet/core/bbox/assigners/atss_assigner.py): per gt, take
+    the top-k closest anchors per level (center distance), compute an
+    adaptive IoU threshold = mean + std of those candidates' IoUs, and
+    assign candidates above it whose center lies inside the gt. Each anchor
+    goes to the gt with the highest IoU among its claims.
+
+    Args:
+        anchors: (A, 4); num_level_anchors: static list of per-level counts;
+        gt_bboxes: (G, 4) padded; gt_valid: (G,).
+
+    Returns (A,) int32: -1 negative, >=0 gt index.
+    """
+    ious = bbox_overlaps(anchors, gt_bboxes)  # (A, G)
+    ious = jnp.where(gt_valid[None, :], ious, -1.0)
+    a_cx = (anchors[:, 0] + anchors[:, 2]) * 0.5
+    a_cy = (anchors[:, 1] + anchors[:, 3]) * 0.5
+    g_cx = (gt_bboxes[:, 0] + gt_bboxes[:, 2]) * 0.5
+    g_cy = (gt_bboxes[:, 1] + gt_bboxes[:, 3]) * 0.5
+    dist = jnp.sqrt((a_cx[:, None] - g_cx[None, :])**2 +
+                    (a_cy[:, None] - g_cy[None, :])**2)  # (A, G)
+
+    # per-level top-k candidate mask (static level slices)
+    candidate = jnp.zeros(dist.shape, bool)
+    start = 0
+    for n in num_level_anchors:
+        lvl_dist = dist[start:start + n]  # (n, G)
+        k = min(topk, n)
+        _, idx = jax.lax.top_k(-lvl_dist.T, k)  # (G, k)
+        lvl_mask = jnp.zeros((gt_bboxes.shape[0], n), bool)
+        lvl_mask = lvl_mask.at[
+            jnp.arange(gt_bboxes.shape[0])[:, None], idx].set(True)
+        candidate = candidate.at[start:start + n].set(lvl_mask.T)
+        start += n
+
+    cand_ious = jnp.where(candidate, ious, jnp.nan)
+    mean = jnp.nanmean(cand_ious, axis=0)  # (G,)
+    std = jnp.sqrt(jnp.nanmean((cand_ious - mean[None, :])**2, axis=0))
+    thr = mean + std  # (G,)
+
+    # center-inside-gt constraint
+    inside = ((a_cx[:, None] > gt_bboxes[None, :, 0]) &
+              (a_cx[:, None] < gt_bboxes[None, :, 2]) &
+              (a_cy[:, None] > gt_bboxes[None, :, 1]) &
+              (a_cy[:, None] < gt_bboxes[None, :, 3]))
+    pos = candidate & (ious >= thr[None, :]) & inside & gt_valid[None, :]
+
+    pos_ious = jnp.where(pos, ious, -1.0)
+    best_gt = jnp.argmax(pos_ious, axis=1).astype(jnp.int32)
+    has_pos = jnp.any(pos, axis=1)
+    return jnp.where(has_pos, best_gt, NEGATIVE)
+
+
+def atss_assign_batch(anchors, num_level_anchors, gt_bboxes, gt_valid,
+                      topk: int = 9):
+    return jax.vmap(
+        lambda g, v: atss_assign(anchors, num_level_anchors, g, v, topk)
+    )(gt_bboxes, gt_valid)

@@ -152,6 +152,47 @@ class YOLOBBoxCoder:
                           yp + hp / 2), axis=-1)
 
 
+@BBOX_CODERS.register_module()
+class TBLRBBoxCoder:
+    """Top-Bottom-Left-Right coder (reference tblr_bbox_coder.py, used by
+    FSAF): distances from the anchor center to the gt sides, normalized by
+    anchor wh * normalizer."""
+
+    def __init__(self, normalizer=4.0, clip_border=True):
+        self.normalizer = normalizer
+        self.clip_border = clip_border
+
+    def encode(self, bboxes, gt_bboxes):
+        cx = (bboxes[..., 0] + bboxes[..., 2]) * 0.5
+        cy = (bboxes[..., 1] + bboxes[..., 3]) * 0.5
+        w = bboxes[..., 2] - bboxes[..., 0]
+        h = bboxes[..., 3] - bboxes[..., 1]
+        t = cy - gt_bboxes[..., 1]
+        b = gt_bboxes[..., 3] - cy
+        l = cx - gt_bboxes[..., 0]
+        r = gt_bboxes[..., 2] - cx
+        out = jnp.stack([t / h, b / h, l / w, r / w], axis=-1)
+        return out / self.normalizer
+
+    def decode(self, bboxes, pred_bboxes, max_shape=None):
+        cx = (bboxes[..., 0] + bboxes[..., 2]) * 0.5
+        cy = (bboxes[..., 1] + bboxes[..., 3]) * 0.5
+        w = bboxes[..., 2] - bboxes[..., 0]
+        h = bboxes[..., 3] - bboxes[..., 1]
+        tblr = pred_bboxes * self.normalizer
+        t = tblr[..., 0] * h
+        b = tblr[..., 1] * h
+        l = tblr[..., 2] * w
+        r = tblr[..., 3] * w
+        x1, y1, x2, y2 = cx - l, cy - t, cx + r, cy + b
+        if self.clip_border and max_shape is not None:
+            x1 = jnp.clip(x1, 0, max_shape[1])
+            y1 = jnp.clip(y1, 0, max_shape[0])
+            x2 = jnp.clip(x2, 0, max_shape[1])
+            y2 = jnp.clip(y2, 0, max_shape[0])
+        return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
 def _area(boxes):
     return ((boxes[..., 2] - boxes[..., 0]) *
             (boxes[..., 3] - boxes[..., 1]))

@@ -200,3 +200,38 @@ class CocoDataset:
                 return data
             idx = random.randint(0, len(self) - 1)
         return data
+
+
+@DATASETS.register_module()
+class CityscapesDataset(CocoDataset):
+    """Cityscapes in COCO format (reference mmdet/datasets/cityscapes.py)."""
+    CLASSES = ('person', 'rider', 'car', 'truck', 'bus', 'train',
+               'motorcycle', 'bicycle')
+
+
+@DATASETS.register_module()
+class WIDERFaceDataset(CocoDataset):
+    """WIDER Face in COCO format (reference datasets/wider_face.py)."""
+    CLASSES = ('face',)
+
+
+@DATASETS.register_module()
+class DeepFashionDataset(CocoDataset):
+    """DeepFashion landmark/detection (reference datasets/deepfashion.py)."""
+    CLASSES = ('top', 'skirt', 'leggings', 'dress', 'outer', 'pants', 'bag',
+               'neckwear', 'headwear', 'eyeglass', 'belt', 'footwear',
+               'hair', 'skin', 'face')
+
+
+@DATASETS.register_module()
+class LVISDataset(CocoDataset):
+    """LVIS v1 (reference datasets/lvis.py): COCO-format json with 1203
+    categories; class names are taken from the annotation file."""
+    CLASSES = ()
+
+    def __init__(self, ann_file, pipeline, **kwargs):
+        from .coco_api import COCO
+        coco = COCO(ann_file)
+        names = [c['name'] for _, c in sorted(coco.cats.items())]
+        kwargs.setdefault('classes', names)
+        super().__init__(ann_file, pipeline, **kwargs)

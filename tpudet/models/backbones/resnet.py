@@ -57,16 +57,28 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     expansion: int = 4
+    groups: int = 1  # >1 + base_width -> ResNeXt (reference resnext.py)
+    base_width: int = 64
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
+        if self.groups == 1:
+            width = self.planes
+        else:
+            width = int(self.planes * (self.base_width / 64)) * self.groups
         # style='pytorch': stride on the 3x3 (reference resnet.py Bottleneck)
-        out = conv(self.planes, 1, 1, self.dtype, 'conv1')(x)
+        out = conv(width, 1, 1, self.dtype, 'conv1')(x)
         out = bn(train, self.dtype, 'bn1')(out)
         out = nn.relu(out)
-        out = conv(self.planes, 3, self.stride, self.dtype, 'conv2')(out)
+        pad = 1
+        out = nn.Conv(width, (3, 3), (self.stride, self.stride),
+                      padding=[(pad, pad), (pad, pad)],
+                      feature_group_count=self.groups, use_bias=False,
+                      dtype=self.dtype,
+                      kernel_init=nn.initializers.he_normal(),
+                      name='conv2')(out)
         out = bn(train, self.dtype, 'bn2')(out)
         out = nn.relu(out)
         out = conv(self.planes * self.expansion, 1, 1, self.dtype,
@@ -84,6 +96,8 @@ class ResNet(nn.Module):
     depth: int = 50
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
     base_channels: int = 64
+    groups: int = 1
+    base_width: int = 64
     dtype: Any = None
 
     arch_settings = {
@@ -121,8 +135,19 @@ class ResNet(nn.Module):
                 needs_ds = (j == 0 and
                             (stride != 1
                              or x.shape[-1] != planes * expansion))
-                x = block_cls(planes, stride, needs_ds, dtype=self.dtype,
-                              name=f'layer{i + 1}_{j}')(x, train)
+                kw = dict(dtype=self.dtype)
+                if block_cls is Bottleneck:
+                    kw.update(groups=self.groups, base_width=self.base_width)
+                x = block_cls(planes, stride, needs_ds,
+                              name=f'layer{i + 1}_{j}', **kw)(x, train)
             if i in self.out_indices:
                 outs.append(x)
         return tuple(outs)
+
+
+@BACKBONES.register_module()
+class ResNeXt(ResNet):
+    """ResNeXt (reference mmdet/models/backbones/resnext.py): grouped
+    bottlenecks, e.g. depth=101, groups=32, base_width=4."""
+    groups: int = 32
+    base_width: int = 4

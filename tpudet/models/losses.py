@@ -108,3 +108,101 @@ def soft_focal_loss(pred, target, gamma=1.5, alpha=0.25, weight=None,
     alpha_factor = target * alpha + (1 - target) * (1 - alpha)
     loss = loss * alpha_factor * (1.0 - p_t)**gamma
     return loss_weight * reduce_loss(loss, reduction, weight, avg_factor)
+
+
+def mse_loss(pred, target, weight=None, reduction='mean', avg_factor=None,
+             loss_weight=1.0):
+    """Reference mse_loss.py."""
+    loss = (pred - target)**2
+    return loss_weight * reduce_loss(loss, reduction, weight, avg_factor)
+
+
+def balanced_l1_loss(pred, target, beta=1.0, alpha=0.5, gamma=1.5,
+                     weight=None, reduction='mean', avg_factor=None,
+                     loss_weight=1.0):
+    """Libra R-CNN balanced L1 (reference balanced_l1_loss.py)."""
+    diff = jnp.abs(pred - target)
+    b = jnp.e**(gamma / alpha) - 1
+    loss = jnp.where(
+        diff < beta,
+        alpha / b * (b * diff + 1) * jnp.log(b * diff / beta + 1) -
+        alpha * diff,
+        gamma * diff + gamma / b - alpha * beta)
+    return loss_weight * reduce_loss(loss, reduction, weight, avg_factor)
+
+
+def varifocal_loss(pred, target, alpha=0.75, gamma=2.0, iou_weighted=True,
+                   weight=None, reduction='mean', avg_factor=None,
+                   loss_weight=1.0):
+    """VarifocalNet loss (reference varifocal_loss.py): IoU-aware soft
+    targets weight positives; negatives get focal down-weighting."""
+    pred_sigmoid = jax.nn.sigmoid(pred)
+    pos = (target > 0).astype(pred.dtype)
+    if iou_weighted:
+        focal_weight = target * pos + \
+            alpha * jnp.abs(pred_sigmoid - target)**gamma * (1 - pos)
+    else:
+        focal_weight = pos + \
+            alpha * jnp.abs(pred_sigmoid - target)**gamma * (1 - pos)
+    loss = binary_cross_entropy_with_logits(pred, target) * focal_weight
+    return loss_weight * reduce_loss(loss, reduction, weight, avg_factor)
+
+
+def quality_focal_loss(pred, target_label, target_score, beta=2.0,
+                       weight=None, reduction='mean', avg_factor=None,
+                       loss_weight=1.0):
+    """Generalized Focal Loss QFL (reference gfocal_loss.py): bce to the
+    quality score at the gt class, |sigma - y|^beta modulation.
+
+    target_label: (N,) int, num_classes == background.
+    target_score: (N,) quality (IoU) in [0, 1].
+    """
+    num_classes = pred.shape[-1]
+    sigma = jax.nn.sigmoid(pred)
+    # background: target 0 everywhere
+    onehot = (jax.nn.one_hot(target_label, num_classes) *
+              target_score[..., None])
+    modulating = jnp.abs(sigma - onehot)**beta
+    loss = binary_cross_entropy_with_logits(pred, onehot) * modulating
+    return loss_weight * reduce_loss(loss, reduction, weight, avg_factor)
+
+
+def distribution_focal_loss(pred, target, weight=None, reduction='mean',
+                            avg_factor=None, loss_weight=1.0):
+    """GFL DFL (reference gfocal_loss.py): CE to the two integral bins
+    around the continuous regression target."""
+    disl = jnp.floor(target).astype(jnp.int32)
+    disr = disl + 1
+    wl = disr.astype(pred.dtype) - target
+    wr = target - disl.astype(pred.dtype)
+    logp = jax.nn.log_softmax(pred, axis=-1)
+    n_bins = pred.shape[-1]
+    ll = jnp.take_along_axis(
+        logp, jnp.clip(disl, 0, n_bins - 1)[..., None], axis=-1)[..., 0]
+    lr = jnp.take_along_axis(
+        logp, jnp.clip(disr, 0, n_bins - 1)[..., None], axis=-1)[..., 0]
+    loss = -(ll * wl + lr * wr)
+    return loss_weight * reduce_loss(loss, reduction, weight, avg_factor)
+
+
+def ghm_c_loss(pred, target, label_weight=None, bins=10, momentum=0.0,
+               loss_weight=1.0):
+    """Gradient-harmonized classification loss, stateless variant
+    (reference ghm_loss.py GHMC without the EMA bin counts — momentum=0
+    semantics): examples are inversely weighted by the density of their
+    gradient magnitude |sigmoid(pred) - target|."""
+    g = jax.lax.stop_gradient(jnp.abs(jax.nn.sigmoid(pred) - target))
+    if label_weight is None:
+        label_weight = jnp.ones_like(pred)
+    valid = label_weight > 0
+    tot = jnp.maximum(jnp.sum(valid), 1.0)
+    edges = jnp.linspace(0, 1, bins + 1)
+    weights = jnp.zeros_like(pred)
+    for i in range(bins):
+        in_bin = (g >= edges[i]) & (g < edges[i + 1] + (1e-6 if i == bins - 1
+                                                        else 0)) & valid
+        num_in_bin = jnp.sum(in_bin)
+        weights = jnp.where(in_bin & (num_in_bin > 0),
+                            tot / jnp.maximum(num_in_bin, 1.0), weights)
+    loss = binary_cross_entropy_with_logits(pred, target) * weights
+    return loss_weight * jnp.sum(loss) / tot
