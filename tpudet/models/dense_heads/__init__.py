@@ -1,5 +1,6 @@
 from .yolocsp_head import YOLOCSPHead
 from .retina_head import RetinaHead
 from .yolov3_head import YOLOV3Head
+from .fcos_head import FCOSHead
 
-__all__ = ['YOLOCSPHead', 'RetinaHead', 'YOLOV3Head']
+__all__ = ['YOLOCSPHead', 'RetinaHead', 'YOLOV3Head', 'FCOSHead']
