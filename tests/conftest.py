@@ -26,6 +26,6 @@ import jax  # noqa: E402
 jax.config.update('jax_platforms', 'cpu')
 # the env-var spelling of the cache options is ignored in this jax build;
 # set them programmatically so repeat test runs skip XLA compiles
-jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax')
+jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax-cpu')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)

@@ -154,6 +154,70 @@ class AnchorGenerator:
 
 
 @ANCHOR_GENERATORS.register_module()
+class SSDAnchorGenerator(AnchorGenerator):
+    """SSD anchor generator (reference anchor_generator.py:350-465):
+    per-level min/max sizes derived from ``basesize_ratio_range``, scales
+    [1, sqrt(max/min)], ratios [1, 1/r, r, ...], the sqrt(max/min)-scale
+    square anchor reordered to slot 1."""
+
+    def __init__(self, strides, ratios, basesize_ratio_range,
+                 input_size=300, scale_major=True):
+        assert len(strides) == len(ratios)
+        self.strides = [_pair(s) for s in strides]
+        self.input_size = input_size
+        self.centers = [(s[0] / 2., s[1] / 2.) for s in self.strides]
+        self.basesize_ratio_range = basesize_ratio_range
+
+        min_ratio, max_ratio = basesize_ratio_range
+        min_ratio = int(min_ratio * 100)
+        max_ratio = int(max_ratio * 100)
+        step = int(np.floor(max_ratio - min_ratio) / (self.num_levels - 2))
+        min_sizes, max_sizes = [], []
+        for ratio in range(min_ratio, max_ratio + 1, step):
+            min_sizes.append(int(input_size * ratio / 100))
+            max_sizes.append(int(input_size * (ratio + step) / 100))
+        first = {  # (input_size, min_ratio_percent) -> head sizes
+            (300, 15): (7, 15), (300, 20): (10, 20),
+            (512, 10): (4, 10), (512, 15): (7, 15),
+        }.get((input_size, min_ratio))
+        if first is None:
+            raise ValueError(
+                f'unsupported SSD config ({input_size}, {min_ratio / 100})')
+        min_sizes.insert(0, int(input_size * first[0] / 100))
+        max_sizes.insert(0, int(input_size * first[1] / 100))
+
+        self.base_sizes = min_sizes
+        self.scales = []
+        self.ratios = []
+        for k in range(len(self.strides)):
+            self.scales.append(
+                np.array([1., np.sqrt(max_sizes[k] / min_sizes[k])],
+                         np.float32))
+            anchor_ratio = [1.]
+            for r in ratios[k]:
+                anchor_ratio += [1 / r, r]
+            self.ratios.append(np.array(anchor_ratio, np.float32))
+        self.scale_major = scale_major
+        self.center_offset = 0
+        self.base_anchors = self.gen_base_anchors()
+
+    @property
+    def num_levels(self):
+        return len(self.strides)
+
+    def gen_base_anchors(self) -> List[np.ndarray]:
+        out = []
+        for i, base_size in enumerate(self.base_sizes):
+            anchors = self._single_level_base_anchors(
+                base_size, self.scales[i], self.ratios[i], self.centers[i])
+            # move the big square anchor (last row) to slot 1 (:449-453)
+            indices = list(range(len(self.ratios[i])))
+            indices.insert(1, len(indices))
+            out.append(anchors[indices])
+        return out
+
+
+@ANCHOR_GENERATORS.register_module()
 class YOLOAnchorGenerator(AnchorGenerator):
     """YOLO anchor generator: explicit per-level (w, h) base sizes, centers
     at stride/2 (reference: anchor_generator.py:595-660)."""

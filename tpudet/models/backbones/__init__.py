@@ -2,8 +2,10 @@ from .darknet_csp import (DarknetCSP, Bottleneck, BottleneckCSP,
                           BottleneckCSP2, SPPV4, SPPV5, Focus)
 from .resnet import ResNet
 from .darknet import Darknet
+from .ssd_vgg import SSDVGG
+from .resnet import ResNeXt
 
 __all__ = [
     'DarknetCSP', 'Bottleneck', 'BottleneckCSP', 'BottleneckCSP2', 'SPPV4',
-    'SPPV5', 'Focus', 'ResNet', 'Darknet'
+    'SPPV5', 'Focus', 'ResNet', 'ResNeXt', 'Darknet', 'SSDVGG'
 ]

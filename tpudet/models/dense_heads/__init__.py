@@ -2,5 +2,6 @@ from .yolocsp_head import YOLOCSPHead
 from .retina_head import RetinaHead
 from .yolov3_head import YOLOV3Head
 from .fcos_head import FCOSHead
+from .ssd_head import SSDHead, SSD
 
-__all__ = ['YOLOCSPHead', 'RetinaHead', 'YOLOV3Head', 'FCOSHead']
+__all__ = ['YOLOCSPHead', 'RetinaHead', 'YOLOV3Head', 'FCOSHead', 'SSDHead', 'SSD']
