@@ -236,9 +236,10 @@ def device_mosaic_affine(tiles: jnp.ndarray,
         img = (img[..., ::-1] - 114.0) / 255.0  # BGR->RGB, normalize
         return img, clipped, clabels, keep
 
-    if jnp.issubdtype(jnp.asarray(rng).dtype, jnp.integer) and \
+    # per-image SIGNED int seeds (loader convention) vs a single PRNG key
+    # (raw keys are uint32 (2,), typed keys have a key dtype)
+    if jnp.issubdtype(jnp.asarray(rng).dtype, jnp.signedinteger) and \
             jnp.asarray(rng).ndim == 1:
-        # per-image int seeds (loader-friendly: shards over the batch axis)
         keys = jax.vmap(
             lambda s: jax.random.fold_in(jax.random.PRNGKey(0), s))(rng)
     else:
