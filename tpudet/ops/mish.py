@@ -67,7 +67,8 @@ def _pallas_elementwise(kernel, out_dtype, *arrays):
     rows = -(-n // width)
     padded = [jnp.pad(a, (0, rows * width - n)).reshape(rows, width)
               for a in flat]
-    block_rows = min(rows, 2048)
+    # keep blocks small: in+out (+grad) double-buffered must fit ~16MB VMEM
+    block_rows = min(rows, 512)
     grid = (-(-rows // block_rows),)
     out = pl.pallas_call(
         kernel,
