@@ -133,7 +133,17 @@ def train_detector(cfg: Config,
     # steps the reference's warmup curve m(iter) = m*(1-exp(-iter/(w*intv)))
     # reduces to interval 1 (iter = step * accumulation).
     loss_fn = None
-    if device_aug is not None:
+    from ..models.detectors.two_stage import TwoStageDetector
+    if isinstance(model, TwoStageDetector):
+        def loss_fn(params, batch_stats, batch):  # noqa: F811
+            losses, mutated = model.apply(
+                {'params': params, 'batch_stats': batch_stats},
+                batch['img'], batch['gt_bboxes'], batch['gt_labels'],
+                batch['gt_valid'], method='forward_train',
+                mutable=['batch_stats'])
+            total = sum(v for k, v in losses.items() if k.startswith('loss'))
+            return total, (losses, mutated['batch_stats'])
+    elif device_aug is not None:
         from ..data.device_aug import device_mosaic_affine
         aug_kwargs = {k: v for k, v in dict(device_aug).items()}
         aug_kwargs.setdefault('out_size',

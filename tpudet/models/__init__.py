@@ -4,6 +4,7 @@ from .backbones import DarknetCSP
 from .necks import YOLOV4Neck, YOLOV5Neck
 from .dense_heads import YOLOCSPHead
 from .detectors import SingleStageDetector, YOLOV4, YOLOV5
+from . import roi_heads  # noqa: F401
 
 __all__ = [
     'ConvModule', 'get_activation', 'build_detector', 'build_backbone',

@@ -39,21 +39,24 @@ def build_detector(cfg, train_cfg: Optional[Dict] = None,
     det_type = cfg.pop('type')
     backbone_cfg = cfg.pop('backbone')
     neck_cfg = cfg.pop('neck', None)
-    head_cfg = cfg.pop('bbox_head')
     train_cfg = cfg.pop('train_cfg', None) if train_cfg is None else train_cfg
     test_cfg = cfg.pop('test_cfg', None) if test_cfg is None else test_cfg
 
     backbone = build_backbone(backbone_cfg)
     neck = build_neck(neck_cfg) if neck_cfg is not None else None
-    bbox_head = build_head(head_cfg)
 
     det_cls = MODELS.get(det_type)
     if det_cls is None:
         raise KeyError(f'{det_type} is not a registered detector')
-    return det_cls(
+
+    kwargs = dict(
         backbone=backbone,
         neck=neck,
-        bbox_head=bbox_head,
         train_cfg=dict(train_cfg) if train_cfg else None,
-        test_cfg=dict(test_cfg) if test_cfg else None,
-        **cfg)
+        test_cfg=dict(test_cfg) if test_cfg else None)
+    if 'rpn_head' in cfg:  # two-stage (reference two_stage.py layout)
+        kwargs['rpn_head'] = build_head(cfg.pop('rpn_head'))
+        kwargs['roi_head'] = build_head(cfg.pop('roi_head'))
+    else:
+        kwargs['bbox_head'] = build_head(cfg.pop('bbox_head'))
+    return det_cls(**kwargs, **cfg)

@@ -3,5 +3,6 @@ from .retina_head import RetinaHead
 from .yolov3_head import YOLOV3Head
 from .fcos_head import FCOSHead
 from .ssd_head import SSDHead, SSD
+from .rpn_head import RPNHead
 
-__all__ = ['YOLOCSPHead', 'RetinaHead', 'YOLOV3Head', 'FCOSHead', 'SSDHead', 'SSD']
+__all__ = ['YOLOCSPHead', 'RetinaHead', 'YOLOV3Head', 'FCOSHead', 'SSDHead', 'SSD', 'RPNHead']

@@ -1,3 +1,4 @@
 from .single_stage import SingleStageDetector, YOLOV4, YOLOV5
+from .two_stage import TwoStageDetector, FasterRCNN
 
-__all__ = ['SingleStageDetector', 'YOLOV4', 'YOLOV5']
+__all__ = ['SingleStageDetector', 'YOLOV4', 'YOLOV5', 'TwoStageDetector', 'FasterRCNN']

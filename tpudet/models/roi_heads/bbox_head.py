@@ -1,0 +1,45 @@
+"""RoI bbox head (reference mmdet/models/roi_heads/bbox_heads/
+convfc_bbox_head.py Shared2FCBBoxHead): flatten pooled RoI features ->
+2 shared FCs -> softmax classification (C+1) + class-specific DeltaXYWH
+regression.
+"""
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...registry import HEADS
+
+
+@HEADS.register_module()
+class Shared2FCBBoxHead(nn.Module):
+    num_classes: int
+    in_channels: int = 256
+    roi_feat_size: int = 7
+    fc_out_channels: int = 1024
+    reg_class_agnostic: bool = False
+    target_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, roi_feats, train: bool = False):
+        """roi_feats (..., 7, 7, C) -> (cls_logits (..., C+1),
+        deltas (..., 4*C or 4))."""
+        lead = roi_feats.shape[:-3]
+        x = roi_feats.reshape(lead + (-1,))
+        for i in range(2):
+            x = jax.nn.relu(
+                nn.Dense(self.fc_out_channels, dtype=self.dtype,
+                         kernel_init=nn.initializers.xavier_uniform(),
+                         name=f'shared_fc{i}')(x))
+        cls = nn.Dense(self.num_classes + 1, dtype=self.dtype,
+                       kernel_init=nn.initializers.normal(0.01),
+                       name='fc_cls')(x)
+        reg_dim = 4 if self.reg_class_agnostic else 4 * self.num_classes
+        reg = nn.Dense(reg_dim, dtype=self.dtype,
+                       kernel_init=nn.initializers.normal(0.001),
+                       name='fc_reg')(x)
+        return cls, reg

@@ -1,0 +1,192 @@
+"""Standard two-stage RoI head (reference mmdet/models/roi_heads/
+standard_roi_head.py + bbox sampling machinery), shape-static:
+
+- training: proposals (+ gt boxes appended, reference RandomSampler
+  add_gt_as_proposals) are MaxIoU-assigned to padded gts, then 512 are
+  "sampled" per image with <=25% positives using a fixed pseudo-random
+  priority (deterministic, static replacement for RandomSampler);
+- pooled features come from the pure-XLA multilevel RoIAlign;
+- losses: softmax CE over sampled rois + class-specific L1 on positives;
+- testing: class softmax + per-class delta decode -> padded multiclass
+  NMS.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.assigners import max_iou_assign_batch
+from ...core.bbox import DeltaXYWHBBoxCoder
+from ...core.nms import batched_nms
+from ...ops.roi_align import multilevel_roi_align
+from ...registry import HEADS
+from .. import losses as L
+from .bbox_head import Shared2FCBBoxHead
+
+
+@HEADS.register_module()
+class StandardRoIHead(nn.Module):
+    num_classes: int
+    in_channels: int = 256
+    featmap_strides: Tuple[int, ...] = (4, 8, 16, 32)
+    roi_size: int = 7
+    num_samples: int = 512
+    pos_fraction: float = 0.25
+    pos_iou_thr: float = 0.5
+    neg_iou_thr: float = 0.5
+    min_pos_iou: float = 0.5
+    target_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
+    dtype: Any = None
+
+    def setup(self):
+        self.bbox_head = Shared2FCBBoxHead(
+            num_classes=self.num_classes, in_channels=self.in_channels,
+            roi_feat_size=self.roi_size, target_stds=self.target_stds,
+            dtype=self.dtype)
+
+    @property
+    def bbox_coder(self):
+        return DeltaXYWHBBoxCoder(target_stds=self.target_stds)
+
+    def extract(self, feats, rois, roi_valid):
+        """Batched multilevel RoIAlign: feats (tuple of (B,H,W,C)),
+        rois (B, P, 4) -> (B, P, 7, 7, C)."""
+
+        def one(img_feats, r, v):
+            return multilevel_roi_align(
+                img_feats, r, v, out_size=self.roi_size,
+                strides=self.featmap_strides)
+
+        # vmap over the batch axis of every pyramid level simultaneously
+        return jax.vmap(one)(tuple(feats[:len(self.featmap_strides)]),
+                             rois, roi_valid)
+
+    def __call__(self, feats, rois, roi_valid, train: bool = False):
+        """Pool + bbox head forward: (B, P, C+1), (B, P, 4C)."""
+        pooled = self.extract(feats, rois, roi_valid)
+        return self.bbox_head(pooled, train)
+
+    # ------------------------------------------------------------------
+    def sample_rois(self, proposals, prop_valid, gt_bboxes, gt_labels,
+                    gt_valid, num_samples: Optional[int] = None):
+        """Assign + static 'random' sampling -> fixed-size roi batch.
+
+        Returns rois (B, S, 4), roi_valid, labels (B, S) with background
+        == num_classes, reg targets (B, S, 4), pos mask (B, S).
+        """
+        s = num_samples or self.num_samples
+        # append gts as proposals (reference add_gt_as_proposals=True)
+        rois = jnp.concatenate([proposals, gt_bboxes], axis=1)
+        valid = jnp.concatenate([prop_valid, gt_valid], axis=1)
+
+        def assign_one(r, v, g, gv):
+            from ...core.assigners import max_iou_assign
+            a = max_iou_assign(r, g, gv, self.pos_iou_thr, self.neg_iou_thr,
+                               self.min_pos_iou, True)
+            return jnp.where(v, a, -2)  # invalid rois -> ignore
+
+        assigned = jax.vmap(assign_one)(rois, valid, gt_bboxes, gt_valid)
+        pos = assigned >= 0
+        neg = assigned == -1
+
+        n_rois = rois.shape[1]
+        priority = jnp.asarray(
+            np.random.RandomState(1).rand(n_rois).astype(np.float32))
+        max_pos = int(s * self.pos_fraction)
+        pos_rank = jnp.argsort(jnp.argsort(
+            jnp.where(pos, priority[None], 2.0), axis=1), axis=1)
+        pos_keep = pos & (pos_rank < max_pos)
+        n_pos = jnp.sum(pos_keep, axis=1, keepdims=True)
+        neg_rank = jnp.argsort(jnp.argsort(
+            jnp.where(neg, priority[None], 2.0), axis=1), axis=1)
+        neg_keep = neg & (neg_rank < s - n_pos)
+        sampled = pos_keep | neg_keep
+
+        # gather the sampled rois into a fixed (B, S) slot table:
+        # order sampled-first via argsort on (!sampled)
+        order = jnp.argsort(~sampled, axis=1, stable=True)[:, :s]
+        take = lambda x: jnp.take_along_axis(  # noqa: E731
+            x, order.reshape(order.shape + (1,) * (x.ndim - 2)), axis=1)
+        out_rois = take(rois)
+        out_sampled = jnp.take_along_axis(sampled, order, axis=1)
+        out_pos = jnp.take_along_axis(pos_keep, order, axis=1)
+        out_assigned = jnp.take_along_axis(assigned, order, axis=1)
+
+        gt_idx = jnp.clip(out_assigned, 0, None)
+        labels = jnp.where(
+            out_pos, jnp.take_along_axis(gt_labels, gt_idx, axis=1),
+            self.num_classes)
+        matched = jnp.take_along_axis(gt_bboxes, gt_idx[..., None], axis=1)
+        matched = jnp.where(out_pos[..., None], matched, out_rois)
+        targets = self.bbox_coder.encode(out_rois, matched)
+        return out_rois, out_sampled, labels, targets, out_pos
+
+    def loss(self, cls_logits, deltas, labels, targets, pos, sampled) -> Dict:
+        """Softmax CE + class-specific L1 (reference bbox_head.loss)."""
+        num_total = jnp.maximum(jnp.sum(sampled.astype(jnp.float32)), 1.0)
+        logp = jax.nn.log_softmax(cls_logits.astype(jnp.float32), axis=-1)
+        ce = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+        loss_cls = jnp.sum(ce * sampled) / num_total
+
+        b, s_ = labels.shape
+        if deltas.shape[-1] == 4:
+            reg = deltas.astype(jnp.float32)
+        else:
+            reg = deltas.reshape(b, s_, self.num_classes, 4).astype(
+                jnp.float32)
+            cls_idx = jnp.clip(labels, 0, self.num_classes - 1)
+            reg = jnp.take_along_axis(
+                reg, cls_idx[..., None, None].repeat(4, -1), axis=2)[:, :, 0]
+        loss_bbox = L.l1_loss(reg, targets,
+                              weight=pos[..., None].astype(jnp.float32),
+                              avg_factor=num_total)
+        return dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
+
+    # ------------------------------------------------------------------
+    def get_bboxes(self, rois, roi_valid, cls_logits, deltas,
+                   scale_factors=None, score_thr: float = 0.05,
+                   iou_thr: float = 0.5, max_per_img: int = 100, **kwargs):
+        scores = jax.nn.softmax(cls_logits.astype(jnp.float32),
+                                axis=-1)[..., :-1]  # (B, P, C)
+        scores = scores * roi_valid[..., None]
+        b, p = rois.shape[:2]
+        if deltas.shape[-1] == 4:
+            boxes = self.bbox_coder.decode(rois, deltas.astype(jnp.float32))
+            boxes_pc = jnp.broadcast_to(boxes[:, :, None],
+                                        (b, p, self.num_classes, 4))
+        else:
+            reg = deltas.reshape(b, p, self.num_classes, 4).astype(
+                jnp.float32)
+            boxes_pc = self.bbox_coder.decode(rois[:, :, None], reg)
+        if scale_factors is not None:
+            boxes_pc = boxes_pc / scale_factors[:, None, None, :]
+        # per-pair (roi, class) candidates with their own boxes: run the
+        # class-offset NMS directly on flattened pairs
+        from ...core.nms import NEG_INF, NMSResult, nms_padded
+        flat_boxes = boxes_pc.reshape(b, p * self.num_classes, 4)
+        flat_scores = scores.reshape(b, p * self.num_classes)
+        labels = jnp.tile(jnp.arange(self.num_classes, dtype=jnp.int32), p)
+
+        def one(bx, sc):
+            valid = sc > score_thr
+            k = min(2048, bx.shape[0])
+            top_s, top_i = jax.lax.top_k(
+                jnp.where(valid, sc, NEG_INF), k)
+            top_valid = top_s > NEG_INF / 2
+            cand = bx[top_i]
+            lab = labels[top_i]
+            max_coord = jnp.max(jnp.where(top_valid[:, None], cand, 0.))
+            off = cand + (lab.astype(cand.dtype) * (max_coord + 1.))[:, None]
+            keep_idx, keep_valid = nms_padded(off, top_s, iou_thr,
+                                              max_per_img, top_valid)
+            return NMSResult(
+                jnp.where(keep_valid[:, None], cand[keep_idx], 0.),
+                jnp.where(keep_valid, top_s[keep_idx], 0.),
+                jnp.where(keep_valid, lab[keep_idx], -1),
+                keep_valid)
+
+        return jax.vmap(one)(flat_boxes, flat_scores)
