@@ -19,7 +19,10 @@ def test_config_builds(cfg_path):
     assert 'model' in cfg
     model = build_detector(cfg['model'])
     assert model.backbone is not None
-    assert model.bbox_head is not None
+    if 'rpn_head' in cfg['model']:
+        assert model.rpn_head is not None and model.roi_head is not None
+    else:
+        assert model.bbox_head is not None
     # data section sanity
     assert 'train' in cfg['data'] and 'val' in cfg['data']
     for split in ('train', 'val', 'test'):
