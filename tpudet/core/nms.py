@@ -289,6 +289,52 @@ def multiclass_nms(bboxes: jax.Array,
     return NMSResult(det_bboxes, det_scores, det_labels, keep_valid)
 
 
+def fast_nms(bboxes: jax.Array,
+             scores: jax.Array,
+             score_thr: float,
+             iou_thr: float,
+             top_k: int = 200,
+             max_per_img: int = 100) -> NMSResult:
+    """YOLACT fast NMS (reference core/post_processing/bbox_nms.py:96):
+    per class, keep the top-k by score and drop any box whose max IoU with
+    a higher-scoring same-class box exceeds the threshold — already-removed
+    boxes still suppress, which is what makes it one parallel matrix op.
+
+    Args:
+        bboxes: (N, 4); scores: (N, C) without background column.
+    """
+    n, num_classes = scores.shape
+    k = min(top_k, n)
+    s_sorted, idx = jax.lax.top_k(scores.T, k)  # (C, k)
+    boxes_ck = bboxes[idx]  # (C, k, 4)
+    iou = bbox_overlaps_ck(boxes_ck)
+    # upper triangle: suppression by any higher-scoring box
+    tri = jnp.triu(jnp.ones((k, k), bool), k=1)
+    iou_max = jnp.max(jnp.where(tri[None], iou, 0.), axis=1)  # (C, k)
+    keep = (iou_max <= iou_thr) & (s_sorted > score_thr)
+
+    flat_scores = jnp.where(keep, s_sorted, NEG_INF).reshape(-1)
+    top_vals, top_pos = jax.lax.top_k(flat_scores, max_per_img)
+    valid = top_vals > NEG_INF / 2
+    cls_ids = (top_pos // k).astype(jnp.int32)
+    det_boxes = boxes_ck.reshape(-1, 4)[top_pos]
+    return NMSResult(jnp.where(valid[:, None], det_boxes, 0.),
+                     jnp.where(valid, top_vals, 0.),
+                     jnp.where(valid, cls_ids, -1), valid)
+
+
+def bbox_overlaps_ck(boxes):
+    """(C, k, 4) -> (C, k, k) IoU."""
+    lt = jnp.maximum(boxes[:, :, None, :2], boxes[:, None, :, :2])
+    rb = jnp.minimum(boxes[:, :, None, 2:], boxes[:, None, :, 2:])
+    wh = jnp.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area = ((boxes[..., 2] - boxes[..., 0]) *
+            (boxes[..., 3] - boxes[..., 1]))
+    union = area[:, :, None] + area[:, None, :] - inter
+    return inter / jnp.maximum(union, 1e-6)
+
+
 def batched_nms(bboxes, scores, score_thr, iou_thr, max_per_img,
                 nms_pre=4096, valid=None, nms_type='nms', sigma=0.5,
                 min_score=1e-3) -> NMSResult:
