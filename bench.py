@@ -15,7 +15,18 @@ reference-stack number: YOLOv4-paper 608-input V100 throughput ~65 img/s
 numbers itself.
 """
 import json
+import os
+import sys
 import time
+
+# XLA:TPU compiles of this model take 10+ minutes on this 1-core host but
+# seconds via the terminal-side compile service. The flag is read by
+# sitecustomize at interpreter start, so re-exec once with it set.
+if os.environ.get('PALLAS_AXON_REMOTE_COMPILE') != '1' and \
+        os.environ.get('TPUDET_NO_REEXEC') != '1':
+    os.environ['PALLAS_AXON_REMOTE_COMPILE'] = '1'
+    os.environ['TPUDET_NO_REEXEC'] = '1'
+    os.execve(sys.executable, [sys.executable] + sys.argv, os.environ)
 
 import numpy as np
 
