@@ -136,11 +136,13 @@ def train_detector(cfg: Config,
     from ..models.detectors.two_stage import TwoStageDetector
     if isinstance(model, TwoStageDetector):
         def loss_fn(params, batch_stats, batch):  # noqa: F811
+            args = [batch['img'], batch['gt_bboxes'], batch['gt_labels'],
+                    batch['gt_valid']]
+            if 'gt_frame_masks' in batch:  # MaskRCNN path
+                args.append(batch['gt_frame_masks'])
             losses, mutated = model.apply(
                 {'params': params, 'batch_stats': batch_stats},
-                batch['img'], batch['gt_bboxes'], batch['gt_labels'],
-                batch['gt_valid'], method='forward_train',
-                mutable=['batch_stats'])
+                *args, method='forward_train', mutable=['batch_stats'])
             total = sum(v for k, v in losses.items() if k.startswith('loss'))
             return total, (losses, mutated['batch_stats'])
     elif device_aug is not None:

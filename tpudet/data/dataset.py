@@ -124,7 +124,7 @@ class CocoDataset:
         (reference coco.py:151-233 _parse_ann_info)."""
         img_info = self.data_infos[idx]
         anns = self.coco.img_to_anns[img_info['id']]
-        bboxes, labels = [], []
+        bboxes, labels, masks = [], [], []
         for ann in anns:
             if ann.get('ignore', False) or ann.get('iscrowd', False):
                 continue
@@ -138,13 +138,14 @@ class CocoDataset:
                 continue
             bboxes.append([x1, y1, x1 + w, y1 + h])
             labels.append(self.cat2label[ann['category_id']])
+            masks.append(ann.get('segmentation'))
         if bboxes:
             bboxes = np.array(bboxes, np.float32)
             labels = np.array(labels, np.int64)
         else:
             bboxes = np.zeros((0, 4), np.float32)
             labels = np.array([], np.int64)
-        return dict(bboxes=bboxes, labels=labels)
+        return dict(bboxes=bboxes, labels=labels, masks=masks)
 
     def get_ann_info_test(self, idx: int) -> Dict:
         """Eval annotations with ignore/iscrowd/area attrs for the flexible

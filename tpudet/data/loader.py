@@ -82,6 +82,12 @@ class DetDataLoader:
         gt_labels = np.zeros((b, self.max_gts), np.int32)
         gt_valid = np.zeros((b, self.max_gts), bool)
         scale_factor = np.ones((b, 4), np.float32)
+        has_masks = any('gt_frame_masks' in s for s in samples)
+        gt_frame_masks = None
+        if has_masks:
+            ms = next(s['gt_frame_masks'].shape[-1] for s in samples
+                      if 'gt_frame_masks' in s)
+            gt_frame_masks = np.zeros((b, self.max_gts, ms, ms), np.float32)
         meta = []
         for i, s in enumerate(samples):
             ih, iw = s['img'].shape[:2]
@@ -92,6 +98,8 @@ class DetDataLoader:
                 gt_bboxes[i, :n] = boxes[:n]
                 gt_labels[i, :n] = s['gt_labels'][:n]
                 gt_valid[i, :n] = True
+                if gt_frame_masks is not None and 'gt_frame_masks' in s:
+                    gt_frame_masks[i, :n] = s['gt_frame_masks'][:n]
             scale_factor[i] = s.get('scale_factor', np.ones(4, np.float32))
             meta.append({
                 'ori_shape': s.get('ori_shape'),
@@ -101,9 +109,12 @@ class DetDataLoader:
                 'filename': s.get('filename'),
                 '_idx': s.get('_idx'),
             })
-        return dict(img=img, gt_bboxes=gt_bboxes, gt_labels=gt_labels,
-                    gt_valid=gt_valid, scale_factor=scale_factor,
-                    img_metas=meta)
+        out = dict(img=img, gt_bboxes=gt_bboxes, gt_labels=gt_labels,
+                   gt_valid=gt_valid, scale_factor=scale_factor,
+                   img_metas=meta)
+        if gt_frame_masks is not None:
+            out['gt_frame_masks'] = gt_frame_masks
+        return out
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         indices = self._indices()

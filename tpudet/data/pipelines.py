@@ -77,11 +77,20 @@ class LoadImageFromFile:
 
 @PIPELINES.register_module()
 class LoadAnnotations:
-    """ann_info -> gt_bboxes/gt_labels (reference loading.py:205-265)."""
+    """ann_info -> gt_bboxes/gt_labels (reference loading.py:205-265).
 
-    def __init__(self, with_bbox=True, with_label=True, **kwargs):
+    ``with_mask`` rasterizes each gt's polygons into its OWN bbox frame at
+    ``mask_frame_size`` (a scale-invariant representation — see
+    tpudet/core/mask.py): geometric transforms move the box, not the
+    box-frame mask; only flips mirror it and filters drop it.
+    """
+
+    def __init__(self, with_bbox=True, with_label=True, with_mask=False,
+                 mask_frame_size=28, **kwargs):
         self.with_bbox = with_bbox
         self.with_label = with_label
+        self.with_mask = with_mask
+        self.mask_frame_size = mask_frame_size
 
     def __call__(self, results):
         ann = results['ann_info']
@@ -91,6 +100,22 @@ class LoadAnnotations:
                                                  []) + ['gt_bboxes']
         if self.with_label:
             results['gt_labels'] = ann['labels'].copy()
+        if self.with_mask:
+            from ..core.mask import polygons_to_gt_frame_mask
+            masks = []
+            polys = ann.get('masks') or [None] * len(ann['bboxes'])
+            for box, seg in zip(ann['bboxes'], polys):
+                if seg and isinstance(seg, (list, tuple)):
+                    masks.append(polygons_to_gt_frame_mask(
+                        seg, box, self.mask_frame_size))
+                else:  # missing/RLE segmentation: full-box mask
+                    masks.append(np.ones(
+                        (self.mask_frame_size, self.mask_frame_size),
+                        np.float32))
+            results['gt_frame_masks'] = (
+                np.stack(masks) if masks else
+                np.zeros((0, self.mask_frame_size, self.mask_frame_size),
+                         np.float32))
         return results
 
 
@@ -158,6 +183,9 @@ class RandomFlip:
                 b[:, 0] = w - results[key][:, 2]
                 b[:, 2] = w - results[key][:, 0]
                 results[key] = b
+            if 'gt_frame_masks' in results:
+                results['gt_frame_masks'] = \
+                    results['gt_frame_masks'][:, :, ::-1].copy()
         return results
 
 
@@ -303,6 +331,8 @@ class GtBBoxesFilter:
                 (ar < self.max_aspect_ratio)
         results['gt_bboxes'] = bboxes[valid]
         results['gt_labels'] = results['gt_labels'][valid]
+        if 'gt_frame_masks' in results:
+            results['gt_frame_masks'] = results['gt_frame_masks'][valid]
         return results
 
 
@@ -400,6 +430,8 @@ class RandomAffineChain:
         results['img'] = img
         results['gt_bboxes'] = clipped[keep].astype(np.float32)
         results['gt_labels'] = labels[keep]
+        if 'gt_frame_masks' in results:
+            results['gt_frame_masks'] = results['gt_frame_masks'][keep]
         results['img_shape'] = img.shape
         results['pad_shape'] = img.shape
         return results
