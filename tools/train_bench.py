@@ -19,6 +19,9 @@ def main():
     p.add_argument('--max-gts', type=int, default=64)
     p.add_argument('--dtype', default='bfloat16',
                    choices=['bfloat16', 'float32'])
+    p.add_argument('--device-aug', action='store_true',
+                   help='include the fused on-device mosaic/affine/HSV '
+                        'augmentation in the step (uint8 tiles in)')
     args = p.parse_args()
 
     import jax
@@ -37,21 +40,50 @@ def main():
         model, jax.random.PRNGKey(0),
         jnp.zeros((1, args.img_size, args.img_size, 3)), opt_cfg)
     mesh = make_mesh()
-    step_fn = jit_train_step(make_train_step(model, opt_cfg), mesh,
-                             donate_state=False)
 
     rng = np.random.RandomState(0)
     g = args.max_gts
     b = args.batch
-    xy = rng.rand(b, g, 2).astype(np.float32) * args.img_size * 0.7
-    wh = rng.rand(b, g, 2).astype(np.float32) * 150 + 8
-    batch = dict(
-        img=rng.rand(b, args.img_size, args.img_size, 3).astype(np.float32),
-        gt_bboxes=np.concatenate(
-            [xy, np.minimum(xy + wh, args.img_size)], -1),
-        gt_labels=rng.randint(0, 80, (b, g)).astype(np.int32),
-        gt_valid=rng.rand(b, g) < 0.5,
-    )
+    s = args.img_size
+    loss_fn = None
+    if args.device_aug:
+        from tpudet.data.device_aug import device_mosaic_affine
+        g4 = max(g // 4, 1)
+        xy = rng.rand(b, 4, g4, 2).astype(np.float32) * s * 0.6
+        wh = rng.rand(b, 4, g4, 2).astype(np.float32) * 120 + 8
+        batch = dict(
+            tiles=(rng.rand(b, 4, s, s, 3) * 255).astype(np.uint8),
+            tile_hw=np.full((b, 4, 2), s, np.int32),
+            gt_bboxes=np.concatenate([xy, np.minimum(xy + wh, s)], -1),
+            gt_labels=rng.randint(0, 80, (b, 4, g4)).astype(np.int32),
+            gt_valid=rng.rand(b, 4, g4) < 0.5,
+            aug_seed=np.arange(b, dtype=np.int32),
+        )
+
+        def loss_fn(params, batch_stats, mb):
+            aug = device_mosaic_affine(
+                mb['tiles'], mb['tile_hw'], mb['gt_bboxes'],
+                mb['gt_valid'], mb['gt_labels'], mb['aug_seed'],
+                out_size=s)
+            pred_maps, mutated = model.apply(
+                {'params': params, 'batch_stats': batch_stats},
+                aug['img'], train=True, mutable=['batch_stats'])
+            losses = model.loss(pred_maps, aug['gt_bboxes'],
+                                aug['gt_labels'], aug['gt_valid'])
+            total = sum(v for k, v in losses.items() if k.startswith('loss'))
+            return total, (losses, mutated['batch_stats'])
+    else:
+        xy = rng.rand(b, g, 2).astype(np.float32) * s * 0.7
+        wh = rng.rand(b, g, 2).astype(np.float32) * 150 + 8
+        batch = dict(
+            img=rng.rand(b, s, s, 3).astype(np.float32),
+            gt_bboxes=np.concatenate([xy, np.minimum(xy + wh, s)], -1),
+            gt_labels=rng.randint(0, 80, (b, g)).astype(np.int32),
+            gt_valid=rng.rand(b, g) < 0.5,
+        )
+    step_fn = jit_train_step(
+        make_train_step(model, opt_cfg, loss_fn=loss_fn), mesh,
+        donate_state=False)
     state = replicate(state, mesh)
     batch = shard_batch(batch, mesh)
 
@@ -73,7 +105,7 @@ def main():
     dt = max(t2 - t1, 1e-9)
     img_s = b * m_iters / dt
     print(json.dumps(dict(
-        metric=f'yolov4{args.scale}-{args.img_size} train step',
+        metric=f'yolov4{args.scale}-{args.img_size} train step' + (' +device-aug' if args.device_aug else ''),
         img_per_sec=round(img_s, 1),
         ms_per_step=round(dt / m_iters * 1e3, 1),
         batch=b, dtype=args.dtype,
