@@ -19,18 +19,21 @@ import os
 import sys
 import time
 
-# XLA:TPU compiles of this model take 10+ minutes on this 1-core host but
-# seconds via the terminal-side compile service. The flag is read by
-# sitecustomize at interpreter start, so re-exec once with it set.
-if os.environ.get('PALLAS_AXON_REMOTE_COMPILE') != '1' and \
-        os.environ.get('TPUDET_NO_REEXEC') != '1':
-    os.environ['PALLAS_AXON_REMOTE_COMPILE'] = '1'
-    os.environ['TPUDET_NO_REEXEC'] = '1'
-    os.execve(sys.executable, [sys.executable] + sys.argv, os.environ)
-
 import numpy as np
 
 BASELINE_V100_FPS = 65.0
+
+
+def _maybe_reexec_with_remote_compile():
+    """XLA:TPU compiles of this model take 10+ minutes on this 1-core host
+    but seconds via the terminal-side compile service. The flag is read by
+    sitecustomize at interpreter start, so re-exec once with it set (only
+    when run as a script; jax has not been imported yet at this point)."""
+    if os.environ.get('PALLAS_AXON_REMOTE_COMPILE') != '1' and \
+            os.environ.get('TPUDET_NO_REEXEC') != '1':
+        os.environ['PALLAS_AXON_REMOTE_COMPILE'] = '1'
+        os.environ['TPUDET_NO_REEXEC'] = '1'
+        os.execve(sys.executable, [sys.executable] + sys.argv, os.environ)
 
 
 def main():
@@ -86,4 +89,5 @@ def main():
 
 
 if __name__ == '__main__':
+    _maybe_reexec_with_remote_compile()
     main()
