@@ -124,3 +124,41 @@ def test_localization_quality_affects_high_iou_thresholds():
                             classes=('a',))
     np.testing.assert_allclose(r50['map'], 1.0)
     np.testing.assert_allclose(r75['map'], 0.0)
+
+
+def test_match_best_only_semantics():
+    from tpudet.evaluation.mean_ap import match_best_only
+    # det0's best regular gt is gt1 (0.8); gt0 (0.6) would clear the
+    # threshold but is NOT det0's best -> with gt1 taken, det0 matches
+    # nothing regular
+    iou = np.array([[0.6, 0.8],
+                    [0.1, 0.9]], np.float32)
+    ignore = np.array([False, False])
+    crowd = np.array([False, False])
+    m = match_best_only(iou, np.array([0.5], np.float32), ignore, crowd)
+    # det0 first: best=0.8 at gt1 -> match gt1. det1: best=0.9 at gt1,
+    # but gt1 taken -> unmatched (never falls back to gt0)
+    assert m[0, 0] == 1 and m[0, 1] == -1
+
+    # vs match_coco which lets det1 fall back to... also nothing (0.1<thr)
+    # but a det with a non-best gt above thr stays unmatched:
+    iou2 = np.array([[0.6, 0.8]], np.float32)
+    m2 = match_best_only(iou2, np.array([0.5], np.float32),
+                         np.array([False, False]),
+                         np.array([False, False]))
+    assert m2[0, 0] == 1
+    # ignored match raises the single threshold variable (unlike
+    # match_coco's separate regular/ignore thresholds) — reference
+    # match_best_only.pyx quirk reproduced: the 0.6 regular gt cannot
+    # displace the 0.7 ignored match
+    iou3 = np.array([[0.7, 0.6]], np.float32)
+    m3 = match_best_only(iou3, np.array([0.5], np.float32),
+                         np.array([True, False]),  # gt0 ignored
+                         np.array([False, False]))
+    assert m3[0, 0] == 0
+    # but a regular gt ABOVE the raised bar does displace it
+    iou4 = np.array([[0.7, 0.8]], np.float32)
+    m4 = match_best_only(iou4, np.array([0.5], np.float32),
+                         np.array([True, False]),
+                         np.array([False, False]))
+    assert m4[0, 0] == 1

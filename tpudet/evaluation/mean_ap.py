@@ -140,6 +140,48 @@ def match_coco(iou_mat: np.ndarray, iou_thrs: np.ndarray,
     return matched
 
 
+def match_best_only(iou_mat: np.ndarray, iou_thrs: np.ndarray,
+                    is_ignore: np.ndarray,
+                    is_crowd: np.ndarray) -> np.ndarray:
+    """Best-only matching variant (reference
+    mmdet/ops/eval_utils/match/match_best_only.pyx): a det may only match
+    the regular gt that is its global-best regular IoU (first such
+    available gt wins and the scan stops); ignored gts behave like
+    match_coco (best available above threshold, last-max ties)."""
+    num_det, num_gt = iou_mat.shape
+    matched = np.full((len(iou_thrs), num_det), -1, dtype=np.int32)
+    if num_gt == 0:
+        return matched
+    regular = ~is_ignore
+    best_reg = np.where(regular.any(),
+                        np.max(np.where(regular[None, :], iou_mat, -np.inf),
+                               axis=1), -np.inf)
+    for t, thr0 in enumerate(iou_thrs):
+        gt_avail = np.ones(num_gt, dtype=bool)
+        for d in range(num_det):
+            thr = thr0
+            m = -1
+            for g in range(num_gt):
+                if not gt_avail[g] and not is_crowd[g]:
+                    continue
+                if m > -1 and regular[m] and is_ignore[g]:
+                    continue
+                if iou_mat[d, g] < thr:
+                    continue
+                if regular[g]:
+                    if iou_mat[d, g] == best_reg[d]:
+                        m = g
+                        break
+                else:
+                    thr = iou_mat[d, g]
+                    m = g
+            if m != -1:
+                matched[t, d] = m
+                if not is_crowd[m]:
+                    gt_avail[m] = False
+    return matched
+
+
 class NoBreakdown:
     """Single 'All' breakdown (reference mean_ap_flexible.py:39-66)."""
 
