@@ -4,5 +4,6 @@ from .yolov3_head import YOLOV3Head
 from .fcos_head import FCOSHead
 from .ssd_head import SSDHead, SSD
 from .rpn_head import RPNHead
+from .atss_head import ATSSHead
 
-__all__ = ['YOLOCSPHead', 'RetinaHead', 'YOLOV3Head', 'FCOSHead', 'SSDHead', 'SSD', 'RPNHead']
+__all__ = ['YOLOCSPHead', 'RetinaHead', 'YOLOV3Head', 'FCOSHead', 'SSDHead', 'SSD', 'RPNHead', 'ATSSHead']

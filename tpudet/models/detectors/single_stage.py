@@ -85,6 +85,20 @@ class YOLOV3(SingleStageDetector):
 
 
 @DETECTORS.register_module()
+class ATSS(SingleStageDetector):
+    """ATSS detector (reference mmdet/models/detectors/atss.py)."""
+
+    def get_bboxes(self, pred_maps, **kwargs):
+        cfg = dict(self.test_cfg or {})
+        nms_cfg = cfg.pop('nms', None)
+        if nms_cfg is not None:
+            cfg['iou_thr'] = nms_cfg.get('iou_threshold', 0.6)
+        cfg.pop('min_bbox_size', None)
+        cfg.update(kwargs)
+        return self.bbox_head.get_bboxes(pred_maps, **cfg)
+
+
+@DETECTORS.register_module()
 class FCOS(SingleStageDetector):
     """Anchor-free FCOS (reference mmdet/models/detectors/fcos.py)."""
 
