@@ -5,5 +5,6 @@ from .fcos_head import FCOSHead
 from .ssd_head import SSDHead, SSD
 from .rpn_head import RPNHead
 from .atss_head import ATSSHead
+from .gfl_head import GFLHead
 
-__all__ = ['YOLOCSPHead', 'RetinaHead', 'YOLOV3Head', 'FCOSHead', 'SSDHead', 'SSD', 'RPNHead', 'ATSSHead']
+__all__ = ['YOLOCSPHead', 'RetinaHead', 'YOLOV3Head', 'FCOSHead', 'SSDHead', 'SSD', 'RPNHead', 'ATSSHead', 'GFLHead']

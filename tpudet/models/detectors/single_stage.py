@@ -99,6 +99,11 @@ class ATSS(SingleStageDetector):
 
 
 @DETECTORS.register_module()
+class GFL(ATSS):
+    """GFL detector (reference mmdet/models/detectors/gfl.py)."""
+
+
+@DETECTORS.register_module()
 class FCOS(SingleStageDetector):
     """Anchor-free FCOS (reference mmdet/models/detectors/fcos.py)."""
 
