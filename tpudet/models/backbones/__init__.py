@@ -4,8 +4,9 @@ from .resnet import ResNet
 from .darknet import Darknet
 from .ssd_vgg import SSDVGG
 from .resnet import ResNeXt
+from .regnet import RegNet
 
 __all__ = [
     'DarknetCSP', 'Bottleneck', 'BottleneckCSP', 'BottleneckCSP2', 'SPPV4',
-    'SPPV5', 'Focus', 'ResNet', 'ResNeXt', 'Darknet', 'SSDVGG'
+    'SPPV5', 'Focus', 'ResNet', 'ResNeXt', 'Darknet', 'SSDVGG', 'RegNet'
 ]
