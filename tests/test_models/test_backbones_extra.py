@@ -36,3 +36,16 @@ def test_resnext_grouped_bottleneck():
     # grouped conv kernel: (3, 3, width/groups, width)
     k = variables['params']['layer1_0']['conv2']['kernel']
     assert k.shape[2] * 32 == k.shape[3]
+
+
+def test_res2net_forward_shapes():
+    model = build_backbone(dict(type='Res2Net', depth=50, scales=4,
+                                out_indices=[0, 3]))
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    outs = model.apply(variables, x)
+    assert outs[0].shape == (1, 16, 16, 256)
+    assert outs[1].shape == (1, 2, 2, 2048)
+    # hierarchical 3x3s exist per scale chunk (minus the identity chunk)
+    assert 'conv2_1' in variables['params']['layer1_1']
+    assert 'conv2_3' in variables['params']['layer1_1']

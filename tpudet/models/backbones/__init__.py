@@ -3,10 +3,10 @@ from .darknet_csp import (DarknetCSP, Bottleneck, BottleneckCSP,
 from .resnet import ResNet
 from .darknet import Darknet
 from .ssd_vgg import SSDVGG
-from .resnet import ResNeXt
+from .resnet import ResNeXt, Res2Net
 from .regnet import RegNet
 
 __all__ = [
     'DarknetCSP', 'Bottleneck', 'BottleneckCSP', 'BottleneckCSP2', 'SPPV4',
-    'SPPV5', 'Focus', 'ResNet', 'ResNeXt', 'Darknet', 'SSDVGG', 'RegNet'
+    'SPPV5', 'Focus', 'ResNet', 'ResNeXt', 'Darknet', 'SSDVGG', 'RegNet', 'Res2Net'
 ]

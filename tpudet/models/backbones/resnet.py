@@ -151,3 +151,91 @@ class ResNeXt(ResNet):
     bottlenecks, e.g. depth=101, groups=32, base_width=4."""
     groups: int = 32
     base_width: int = 4
+
+
+class Res2Bottleneck(nn.Module):
+    """Res2Net bottle2neck (reference mmdet/models/backbones/res2net.py):
+    the 3x3 stage splits the width into ``scales`` chunks processed
+    hierarchically, each chunk's conv fed by the previous chunk's output."""
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    scales: int = 4
+    base_width: int = 26
+    expansion: int = 4
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        import jax.numpy as jnp
+        identity = x
+        width = int(self.planes * (self.base_width / 64.)) * 1
+        total = width * self.scales
+        out = conv(total, 1, 1, self.dtype, 'conv1')(x)
+        out = bn(train, self.dtype, 'bn1')(out)
+        out = nn.relu(out)
+
+        chunks = [out[..., i * width:(i + 1) * width]
+                  for i in range(self.scales)]
+        outs = []
+        prev = None
+        for i in range(self.scales):
+            if i == 0 and self.stride == 1 and not self.downsample:
+                outs.append(chunks[i])  # identity branch for the 1st chunk
+                continue
+            inp = chunks[i]
+            if prev is not None and self.stride == 1:
+                inp = inp + prev
+            y = nn.Conv(width, (3, 3), (self.stride, self.stride),
+                        padding=[(1, 1), (1, 1)], use_bias=False,
+                        dtype=self.dtype,
+                        kernel_init=nn.initializers.he_normal(),
+                        name=f'conv2_{i}')(inp)
+            y = bn(train, self.dtype, f'bn2_{i}')(y)
+            y = nn.relu(y)
+            outs.append(y)
+            prev = y
+        out = jnp.concatenate(outs, axis=-1)
+
+        out = conv(self.planes * self.expansion, 1, 1, self.dtype,
+                   'conv3')(out)
+        out = bn(train, self.dtype, 'bn3')(out)
+        if self.downsample:
+            identity = conv(self.planes * self.expansion, 1, self.stride,
+                            self.dtype, 'ds_conv')(x)
+            identity = bn(train, self.dtype, 'ds_bn')(identity)
+        return nn.relu(out + identity)
+
+
+@BACKBONES.register_module()
+class Res2Net(ResNet):
+    """Res2Net (reference mmdet/models/backbones/res2net.py)."""
+    scales: int = 4
+    res2_base_width: int = 26
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        _, stage_blocks = self.arch_settings[self.depth]
+        x = nn.Conv(self.base_channels, (7, 7), (2, 2),
+                    padding=[(3, 3), (3, 3)], use_bias=False,
+                    dtype=self.dtype,
+                    kernel_init=nn.initializers.he_normal(),
+                    name='stem_conv')(x)
+        x = bn(train, self.dtype, 'stem_bn')(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), (2, 2), padding=[(1, 1), (1, 1)])
+        outs = []
+        for i, num_blocks in enumerate(stage_blocks):
+            planes = self.base_channels * 2**i
+            for j in range(num_blocks):
+                stride = 2 if (i > 0 and j == 0) else 1
+                needs_ds = (j == 0 and (stride != 1
+                                        or x.shape[-1] != planes * 4))
+                x = Res2Bottleneck(planes, stride, needs_ds,
+                                   scales=self.scales,
+                                   base_width=self.res2_base_width,
+                                   dtype=self.dtype,
+                                   name=f'layer{i + 1}_{j}')(x, train)
+            if i in self.out_indices:
+                outs.append(x)
+        return tuple(outs)
