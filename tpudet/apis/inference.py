@@ -106,6 +106,16 @@ def _prepare_image(detector: Detector, img: Union[str, np.ndarray]):
     return results
 
 
+def _pad_canvas(image: np.ndarray, pad_to: Optional[int]) -> np.ndarray:
+    """Zero-pad to a square static shape: at least ``pad_to``, never
+    smaller than the image (rounded up to 32 so FPN strides divide)."""
+    h, w = image.shape[:2]
+    side = max(pad_to or 0, -(-max(h, w) // 32) * 32)
+    canvas = np.zeros((side, side, 3), np.float32)
+    canvas[:h, :w] = image
+    return canvas
+
+
 def inference_detector(detector: Detector,
                        img: Union[str, np.ndarray],
                        pad_to: Optional[int] = 640) -> List[np.ndarray]:
@@ -114,10 +124,7 @@ def inference_detector(detector: Detector,
     results = _prepare_image(detector, img)
     image = results['img'].astype(np.float32)
     if pad_to is not None:
-        h, w = image.shape[:2]
-        canvas = np.zeros((pad_to, pad_to, 3), np.float32)
-        canvas[:h, :w] = image
-        image = canvas
+        image = _pad_canvas(image, pad_to)
     batch_img = image[None]
     scale_factor = np.asarray(results['scale_factor'],
                               np.float32).reshape(1, 4)
@@ -138,10 +145,7 @@ async def async_inference_detector(detector: Detector,
     results = _prepare_image(detector, img)
     image = results['img'].astype(np.float32)
     if pad_to is not None:
-        h, w = image.shape[:2]
-        canvas = np.zeros((pad_to, pad_to, 3), np.float32)
-        canvas[:h, :w] = image
-        image = canvas
+        image = _pad_canvas(image, pad_to)
     scale_factor = np.asarray(results['scale_factor'],
                               np.float32).reshape(1, 4)
     res = detector(image[None], scale_factor, rescale=True)  # async dispatch
