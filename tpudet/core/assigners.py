@@ -19,7 +19,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .bbox import bbox_overlaps
+from .bbox import bbox_cxcywh, bbox_overlaps
 
 IGNORE = -2
 NEGATIVE = -1
@@ -174,3 +174,95 @@ def atss_assign_batch(anchors, num_level_anchors, gt_bboxes, gt_valid,
     return jax.vmap(
         lambda g, v: atss_assign(anchors, num_level_anchors, g, v, topk)
     )(gt_bboxes, gt_valid)
+
+
+def uniform_assign(pred_boxes: jnp.ndarray,
+                   anchors: jnp.ndarray,
+                   gt_bboxes: jnp.ndarray,
+                   gt_valid: jnp.ndarray,
+                   match_times: int = 4,
+                   pos_ignore_thr: float = 0.15,
+                   neg_ignore_thr: float = 0.7) -> jnp.ndarray:
+    """YOLOF's uniform matching (reference uniform_assigner.py:34-128),
+    shape-static over padded gts.
+
+    Per gt, the ``match_times`` lowest-L1-cost predicted boxes AND the
+    ``match_times`` lowest-cost anchors become candidate positives; a
+    candidate whose *anchor* IoU with its gt is below ``pos_ignore_thr`` is
+    ignored. Non-candidates whose *predicted* max-IoU exceeds
+    ``neg_ignore_thr`` are ignored. The reference writes candidates with a
+    flat scatter so later entries win ties; reproduced here by a
+    scatter-max of the flat entry order.
+    """
+    num_a = anchors.shape[0]
+    num_g = gt_bboxes.shape[0]
+    k = min(match_times, num_a)
+
+    gt_c = bbox_cxcywh(gt_bboxes)
+    cost_pred = jnp.sum(
+        jnp.abs(bbox_cxcywh(pred_boxes)[:, None] - gt_c[None]), -1)  # (A, G)
+    cost_anchor = jnp.sum(
+        jnp.abs(bbox_cxcywh(anchors)[:, None] - gt_c[None]), -1)
+
+    # per-gt k smallest costs -> (G, k) anchor indices
+    _, idx_pred = jax.lax.top_k(-cost_pred.T, k)
+    _, idx_anchor = jax.lax.top_k(-cost_anchor.T, k)
+
+    # reference flat order: cat((index, index1), dim=1).reshape(-1) where
+    # index is (k, G) -> order is [k0: pred g0..G-1, anchor g0..G-1, k1: ...]
+    flat_idx = jnp.stack([idx_pred.T, idx_anchor.T], 1).reshape(-1)  # (k*2G,)
+    flat_gt = jnp.tile(jnp.arange(num_g, dtype=jnp.int32), 2 * k)
+    order = jnp.arange(flat_idx.shape[0], dtype=jnp.int32) + 1
+    order = jnp.where(flat_gt >= 0, order, 0)
+    order = jnp.where(jnp.take(gt_valid, flat_gt), order, 0)
+
+    winner = jnp.zeros((num_a,), jnp.int32).at[flat_idx].max(order)
+    win_gt = (winner - 1) % num_g  # flat order -> gt id (valid when winner>0)
+
+    anchor_ious = bbox_overlaps(anchors, gt_bboxes)  # (A, G)
+    anchor_ious = jnp.where(gt_valid[None, :], anchor_ious, -1.0)
+    win_iou = jnp.take_along_axis(anchor_ious, win_gt[:, None], 1)[:, 0]
+
+    pred_ious = bbox_overlaps(pred_boxes, gt_bboxes)
+    pred_max = jnp.max(jnp.where(gt_valid[None, :], pred_ious, -1.0), axis=1)
+
+    assigned = jnp.where(pred_max > neg_ignore_thr, IGNORE, NEGATIVE)
+    assigned = jnp.where(winner > 0,
+                         jnp.where(win_iou < pos_ignore_thr, IGNORE, win_gt),
+                         assigned)
+    return jnp.where(jnp.any(gt_valid), assigned,
+                     jnp.full((num_a,), NEGATIVE, jnp.int32))
+
+
+uniform_assign_batch = jax.vmap(uniform_assign,
+                                in_axes=(0, None, 0, 0, None, None, None))
+
+
+def hungarian_assign(cost: jnp.ndarray, gt_valid: jnp.ndarray) -> jnp.ndarray:
+    """Optimal bipartite matching (reference hungarian_assigner.py): rows are
+    queries/predictions, cols are padded gts. Invalid gts are excluded.
+
+    Returns (Q,) int32: matched gt index or NEGATIVE. Runs
+    scipy.optimize.linear_sum_assignment on host via ``pure_callback``
+    (assignment indices carry no gradient), shape-static under jit/vmap.
+    """
+    q, g = cost.shape
+
+    def host_lsa(c, v):
+        import numpy as _np
+        from scipy.optimize import linear_sum_assignment
+        c = _np.asarray(c, _np.float64).copy()
+        v = _np.asarray(v)
+        # infeasible columns get a huge cost; we drop those matches after
+        BIG = 1e9
+        c[:, ~v] = BIG
+        rows, cols = linear_sum_assignment(c)
+        out = _np.full((q,), NEGATIVE, _np.int32)
+        for r, cl in zip(rows, cols):
+            if v[cl]:
+                out[r] = cl
+        return out
+
+    return jax.pure_callback(
+        host_lsa, jax.ShapeDtypeStruct((q,), jnp.int32), cost, gt_valid,
+        vmap_method='sequential')

@@ -65,10 +65,16 @@ class DeltaXYWHBBoxCoder:
     def __init__(self,
                  target_means=(0., 0., 0., 0.),
                  target_stds=(1., 1., 1., 1.),
-                 clip_border=True):
+                 clip_border=True,
+                 add_ctr_clamp=False,
+                 ctr_clamp=32):
         self.means = np.asarray(target_means, dtype=np.float32)
         self.stds = np.asarray(target_stds, dtype=np.float32)
         self.clip_border = clip_border
+        # YOLOF variant (reference delta_xywh_bbox_coder.py): clamp the
+        # center shift in pixels and only upper-clamp dw/dh
+        self.add_ctr_clamp = add_ctr_clamp
+        self.ctr_clamp = ctr_clamp
 
     def encode(self, bboxes, gt_bboxes):
         px = (bboxes[..., 0] + bboxes[..., 2]) * 0.5
@@ -91,16 +97,24 @@ class DeltaXYWHBBoxCoder:
         deltas = pred_bboxes * self.stds + self.means
         dx, dy = deltas[..., 0], deltas[..., 1]
         max_ratio = abs(float(np.log(wh_ratio_clip)))
-        dw = jnp.clip(deltas[..., 2], -max_ratio, max_ratio)
-        dh = jnp.clip(deltas[..., 3], -max_ratio, max_ratio)
         px = (bboxes[..., 0] + bboxes[..., 2]) * 0.5
         py = (bboxes[..., 1] + bboxes[..., 3]) * 0.5
         pw = bboxes[..., 2] - bboxes[..., 0]
         ph = bboxes[..., 3] - bboxes[..., 1]
+        dx_width = pw * dx
+        dy_height = ph * dy
+        if self.add_ctr_clamp:
+            dx_width = jnp.clip(dx_width, -self.ctr_clamp, self.ctr_clamp)
+            dy_height = jnp.clip(dy_height, -self.ctr_clamp, self.ctr_clamp)
+            dw = jnp.clip(deltas[..., 2], None, max_ratio)
+            dh = jnp.clip(deltas[..., 3], None, max_ratio)
+        else:
+            dw = jnp.clip(deltas[..., 2], -max_ratio, max_ratio)
+            dh = jnp.clip(deltas[..., 3], -max_ratio, max_ratio)
         gw = pw * jnp.exp(dw)
         gh = ph * jnp.exp(dh)
-        gx = px + pw * dx
-        gy = py + ph * dy
+        gx = px + dx_width
+        gy = py + dy_height
         x1 = gx - gw * 0.5
         y1 = gy - gh * 0.5
         x2 = gx + gw * 0.5

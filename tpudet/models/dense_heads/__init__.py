@@ -6,5 +6,14 @@ from .ssd_head import SSDHead, SSD
 from .rpn_head import RPNHead
 from .atss_head import ATSSHead
 from .gfl_head import GFLHead
+from .yolof_head import YOLOFHead
+from .fovea_head import FoveaHead
+from .fsaf_head import FSAFHead
+from .free_anchor_retina_head import FreeAnchorRetinaHead
+from .detr_head import DETRHead
 
-__all__ = ['YOLOCSPHead', 'RetinaHead', 'YOLOV3Head', 'FCOSHead', 'SSDHead', 'SSD', 'RPNHead', 'ATSSHead', 'GFLHead']
+__all__ = [
+    'YOLOCSPHead', 'RetinaHead', 'YOLOV3Head', 'FCOSHead', 'SSDHead', 'SSD',
+    'RPNHead', 'ATSSHead', 'GFLHead', 'YOLOFHead', 'FoveaHead', 'FSAFHead',
+    'FreeAnchorRetinaHead', 'DETRHead'
+]

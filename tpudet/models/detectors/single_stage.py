@@ -118,6 +118,63 @@ class FCOS(SingleStageDetector):
 
 
 @DETECTORS.register_module()
+class DETR(SingleStageDetector):
+    """DETR set-prediction detector (reference
+    mmdet/models/detectors/detr.py); no neck, no NMS."""
+
+    def get_bboxes(self, pred_maps, **kwargs):
+        cfg = dict(self.test_cfg or {})
+        cfg.pop('nms', None)
+        cfg.pop('min_bbox_size', None)
+        cfg.pop('nms_pre', None)
+        cfg.pop('score_thr', None)
+        cfg.update(kwargs)
+        return self.bbox_head.get_bboxes(pred_maps, **cfg)
+
+
+@DETECTORS.register_module()
+class FSAF(SingleStageDetector):
+    """FSAF (reference mmdet/models/detectors/fsaf.py)."""
+
+    def get_bboxes(self, pred_maps, **kwargs):
+        cfg = dict(self.test_cfg or {})
+        nms_cfg = cfg.pop('nms', None)
+        if nms_cfg is not None:
+            cfg['iou_thr'] = nms_cfg.get('iou_threshold', 0.5)
+        cfg.pop('min_bbox_size', None)
+        cfg.update(kwargs)
+        return self.bbox_head.get_bboxes(pred_maps, **cfg)
+
+
+@DETECTORS.register_module()
+class FOVEA(SingleStageDetector):
+    """FoveaBox (reference mmdet/models/detectors/fovea.py)."""
+
+    def get_bboxes(self, pred_maps, **kwargs):
+        cfg = dict(self.test_cfg or {})
+        nms_cfg = cfg.pop('nms', None)
+        if nms_cfg is not None:
+            cfg['iou_thr'] = nms_cfg.get('iou_threshold', 0.5)
+        cfg.pop('min_bbox_size', None)
+        cfg.update(kwargs)
+        return self.bbox_head.get_bboxes(pred_maps, **cfg)
+
+
+@DETECTORS.register_module()
+class YOLOF(SingleStageDetector):
+    """Single-level YOLOF (reference mmdet/models/detectors/yolof.py)."""
+
+    def get_bboxes(self, pred_maps, **kwargs):
+        cfg = dict(self.test_cfg or {})
+        nms_cfg = cfg.pop('nms', None)
+        if nms_cfg is not None:
+            cfg['iou_thr'] = nms_cfg.get('iou_threshold', 0.6)
+        cfg.pop('min_bbox_size', None)
+        cfg.update(kwargs)
+        return self.bbox_head.get_bboxes(pred_maps, **cfg)
+
+
+@DETECTORS.register_module()
 class RetinaNet(SingleStageDetector):
     """Generic anchor path (reference mmdet/models/detectors/retinanet.py)."""
 

@@ -206,3 +206,64 @@ def ghm_c_loss(pred, target, label_weight=None, bins=10, momentum=0.0,
                             tot / jnp.maximum(num_in_bin, 1.0), weights)
     loss = binary_cross_entropy_with_logits(pred, target) * weights
     return loss_weight * jnp.sum(loss) / tot
+
+
+def gaussian_focal_loss(pred, gaussian_target, alpha=2.0, gamma=4.0,
+                        weight=None, reduction='mean', avg_factor=None,
+                        loss_weight=1.0, eps=1e-12):
+    """CornerNet/CenterNet heatmap focal loss (reference
+    gaussian_focal_loss.py:10-29): ``pred`` is a sigmoid probability map,
+    target a gaussian heatmap with 1 at keypoint centers."""
+    pos_w = (gaussian_target == 1).astype(pred.dtype)
+    neg_w = (1 - gaussian_target)**gamma
+    pos = -jnp.log(pred + eps) * (1 - pred)**alpha * pos_w
+    neg = -jnp.log(1 - pred + eps) * pred**alpha * neg_w
+    return loss_weight * reduce_loss(pos + neg, reduction, weight,
+                                     avg_factor)
+
+
+def ae_loss(tl_emb, br_emb, valid, pull_weight=0.25, push_weight=0.25,
+            margin=1.0):
+    """Associative-embedding pull/push losses over padded corner embeddings
+    (reference ae_loss.py:10-71), shape-static: ``tl_emb``/``br_emb`` are
+    (G,) embeddings gathered at each padded gt's corner locations, ``valid``
+    (G,) masks real objects.
+
+    Returns (pull, push) already weighted."""
+    n = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    mean = (tl_emb + br_emb) / 2.0
+    pull = ((tl_emb - mean)**2 + (br_emb - mean)**2) * valid
+    pull = jnp.sum(pull) / n
+
+    diff = jnp.abs(mean[:, None] - mean[None, :])  # (G, G)
+    pair = (valid[:, None] & valid[None, :]) & (
+        ~jnp.eye(mean.shape[0], dtype=bool))
+    push = jnp.maximum(margin - diff, 0.) * pair
+    denom = jnp.maximum(n * (n - 1), 1.0)
+    push = jnp.where(n > 1, jnp.sum(push) / denom, 0.0)
+    return pull_weight * pull, push_weight * push
+
+
+def kd_kl_div_loss(pred, soft_label, T=10.0, weight=None, reduction='mean',
+                   avg_factor=None, loss_weight=1.0, detach_target=True):
+    """KL-divergence knowledge-distillation loss (reference kd_loss.py:11):
+    mean KL between T-softened teacher/student class distributions, x T^2."""
+    target = jax.nn.softmax(soft_label / T, axis=-1)
+    if detach_target:
+        target = jax.lax.stop_gradient(target)
+    logp = jax.nn.log_softmax(pred / T, axis=-1)
+    kl = target * (jnp.log(jnp.clip(target, 1e-12, None)) - logp)
+    loss = jnp.mean(kl, axis=-1) * (T * T)
+    return loss_weight * reduce_loss(loss, reduction, weight, avg_factor)
+
+
+def accuracy(pred, target, topk=1, thresh=None):
+    """Top-k accuracy (reference accuracy.py:6); pred (N, C), target (N,)."""
+    if pred.shape[0] == 0:
+        return jnp.zeros(())
+    k = min(topk, pred.shape[1])
+    vals, inds = jax.lax.top_k(pred, k)
+    correct = inds == target[:, None]
+    if thresh is not None:
+        correct = correct & (vals > thresh)
+    return jnp.mean(jnp.any(correct, axis=1).astype(jnp.float32)) * 100.0

@@ -1,5 +1,11 @@
 from .yolo_neck_csp import YOLOV4Neck, YOLOV5Neck
-from .fpn import FPN
+from .fpn import FPN, PAFPN
 from .yolo_neck import YOLOV3Neck
+from .channel_mapper import ChannelMapper, DilatedEncoder
+from .hrfpn import HRFPN, BFP
+from .nas_fpn import NASFPN
 
-__all__ = ['YOLOV4Neck', 'YOLOV5Neck', 'FPN', 'YOLOV3Neck']
+__all__ = [
+    'YOLOV4Neck', 'YOLOV5Neck', 'FPN', 'PAFPN', 'YOLOV3Neck',
+    'ChannelMapper', 'DilatedEncoder', 'HRFPN', 'BFP', 'NASFPN'
+]
