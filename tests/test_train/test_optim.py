@@ -99,3 +99,29 @@ def test_ema_warmup_and_blend():
     np.testing.assert_allclose(out['w'], 0.1, rtol=1e-6)
     # non-float copied verbatim (reference :94-95)
     np.testing.assert_array_equal(out['n'], 7)
+
+
+def test_adam_matches_torch_semantics():
+    """Adam branch vs an independent scalar torch-Adam rederivation."""
+    cfg = YoloSGDConfig(lr=0.001, weight_decay=0.0, warmup_iters=0,
+                        total_steps=10**6, grad_clip_norm=1e9,
+                        opt_type='adam', policy='fixed')
+    init_fn, update_fn = make_yolo_sgd(cfg)
+    params = {'conv': {'kernel': jnp.ones((2, 2, 2, 2)) * 0.5}}
+    state = init_fn(params)
+
+    p_ref, m_ref, v_ref = 0.5, 0.0, 0.0
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    p_state = params
+    for step in range(4):
+        g_val = 0.1 * (step + 1)
+        g = jax.tree.map(lambda x: jnp.ones_like(x) * g_val, params)
+        p_state, state, _ = update_fn(g, state, p_state, jnp.asarray(step))
+        m_ref = b1 * m_ref + (1 - b1) * g_val
+        v_ref = b2 * v_ref + (1 - b2) * g_val**2
+        mh = m_ref / (1 - b1**(step + 1))
+        vh = v_ref / (1 - b2**(step + 1))
+        p_ref = p_ref - 0.001 * mh / (vh**0.5 + eps)
+        np.testing.assert_allclose(
+            np.asarray(p_state['conv']['kernel']).ravel()[0], p_ref,
+            rtol=1e-5)

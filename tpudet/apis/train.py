@@ -45,11 +45,14 @@ def opt_config_from_cfg(cfg: Config, total_steps: int,
     policy = {'cosineannealing': 'cosine', 'step': 'step',
               'fixed': 'fixed'}.get(policy, 'cosine')
     decay_epochs = lr_cfg.get('step', ())
+    opt_type = str(opt.get('type', 'SGD')).lower()
     return YoloSGDConfig(
         lr=opt.get('lr', 0.01),
         momentum=opt.get('momentum', 0.937),
-        weight_decay=opt.get('weight_decay', 5e-4),
+        weight_decay=opt.get('weight_decay',
+                             0.0 if opt_type == 'adam' else 5e-4),
         nesterov=opt.get('nesterov', True),
+        opt_type='adam' if opt_type in ('adam', 'adamw') else 'sgd',
         policy=policy,
         decay_steps=tuple(e * steps_per_epoch for e in decay_epochs),
         gamma=lr_cfg.get('gamma', 0.1),
@@ -74,6 +77,11 @@ def train_detector(cfg: Config,
     logger = get_root_logger(osp.join(work_dir, 'train.log'))
 
     dataset = build_dataset(cfg['data']['train'])
+    if len(dataset) == 0:
+        raise ValueError(
+            'training dataset is empty after filtering — check ann_file '
+            'paths and that the dataset `classes` match the annotation '
+            'category names (unknown categories are silently dropped)')
     n_dev = jax.device_count()
     per_dev = cfg['data'].get('samples_per_gpu', 8)
     global_batch = per_dev * n_dev
@@ -206,11 +214,13 @@ def train_detector(cfg: Config,
                 rate = (log_interval * global_batch * accumulation /
                         (time.time() - t0))
                 t0 = time.time()
+                parts = ' '.join(
+                    f'{k[5:] if k.startswith("loss_") else k} {v:.4f}'
+                    for k, v in sorted(m.items())
+                    if 'loss' in k and k != 'loss')
                 logger.info(
                     f'epoch {epoch} step {step}/{total_steps} '
-                    f'loss {m["loss"]:.4f} (cls {m.get("loss_cls", 0):.4f} '
-                    f'conf {m.get("loss_conf", 0):.4f} '
-                    f'bbox {m.get("loss_bbox", 0):.4f}) '
+                    f'loss {m["loss"]:.4f} ({parts}) '
                     f'lr {m["lr"]:.5f} gnorm {m["grad_norm"]:.2f} '
                     f'img/s {rate:.1f}')
             if max_steps is not None and step >= max_steps:

@@ -5,8 +5,10 @@ from .darknet import Darknet
 from .ssd_vgg import SSDVGG
 from .resnet import ResNeXt, Res2Net
 from .regnet import RegNet
+from .hourglass import HourglassNet
 
 __all__ = [
     'DarknetCSP', 'Bottleneck', 'BottleneckCSP', 'BottleneckCSP2', 'SPPV4',
-    'SPPV5', 'Focus', 'ResNet', 'ResNeXt', 'Darknet', 'SSDVGG', 'RegNet', 'Res2Net'
+    'SPPV5', 'Focus', 'ResNet', 'ResNeXt', 'Darknet', 'SSDVGG', 'RegNet',
+    'Res2Net', 'HourglassNet'
 ]

@@ -11,9 +11,10 @@ from .fovea_head import FoveaHead
 from .fsaf_head import FSAFHead
 from .free_anchor_retina_head import FreeAnchorRetinaHead
 from .detr_head import DETRHead
+from .corner_head import CornerHead
 
 __all__ = [
     'YOLOCSPHead', 'RetinaHead', 'YOLOV3Head', 'FCOSHead', 'SSDHead', 'SSD',
     'RPNHead', 'ATSSHead', 'GFLHead', 'YOLOFHead', 'FoveaHead', 'FSAFHead',
-    'FreeAnchorRetinaHead', 'DETRHead'
+    'FreeAnchorRetinaHead', 'DETRHead', 'CornerHead'
 ]

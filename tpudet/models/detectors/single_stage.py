@@ -118,6 +118,22 @@ class FCOS(SingleStageDetector):
 
 
 @DETECTORS.register_module()
+class CornerNet(SingleStageDetector):
+    """CornerNet (reference mmdet/models/detectors/cornernet.py);
+    keypoint-pair decoding + soft-NMS, no anchor machinery."""
+
+    def get_bboxes(self, pred_maps, **kwargs):
+        cfg = dict(self.test_cfg or {})
+        nms_cfg = cfg.pop('nms', None)
+        if nms_cfg is not None and 'iou_threshold' in nms_cfg:
+            cfg['iou_thr'] = nms_cfg['iou_threshold']
+        cfg.pop('min_bbox_size', None)
+        cfg.pop('nms_pre', None)
+        cfg.update(kwargs)
+        return self.bbox_head.get_bboxes(pred_maps, **cfg)
+
+
+@DETECTORS.register_module()
 class DETR(SingleStageDetector):
     """DETR set-prediction detector (reference
     mmdet/models/detectors/detr.py); no neck, no NMS."""

@@ -34,6 +34,12 @@ class YoloSGDConfig(NamedTuple):
     momentum: float = 0.937
     weight_decay: float = 5e-4
     nesterov: bool = True
+    # 'sgd' (torch SGD semantics) or 'adam' (torch Adam, L2-into-grad decay;
+    # the reference CornerNet/DETR configs train with Adam/AdamW)
+    opt_type: str = 'sgd'
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
     # schedule
     policy: str = 'cosine'  # 'cosine' | 'step' | 'fixed'
     total_steps: int = 100000
@@ -130,6 +136,10 @@ def make_yolo_sgd(cfg: YoloSGDConfig):
     """
 
     def init_fn(params) -> SGDState:
+        if cfg.opt_type == 'adam':
+            # leaf = stacked (m, v)
+            return SGDState(jax.tree.map(
+                lambda p: jnp.zeros((2,) + p.shape, jnp.float32), params))
         return SGDState(jax.tree.map(jnp.zeros_like, params))
 
     def update_fn(grads, state: SGDState, params, step):
@@ -143,6 +153,9 @@ def make_yolo_sgd(cfg: YoloSGDConfig):
 
         grads, gnorm = global_norm_clip(grads, cfg.grad_clip_norm)
 
+        t = (step + 1).astype(jnp.float32) if hasattr(step, 'astype') \
+            else float(step + 1)
+
         def step_leaf(label, g, buf, p):
             g = g.astype(jnp.float32)
             p32 = p.astype(jnp.float32)
@@ -153,6 +166,13 @@ def make_yolo_sgd(cfg: YoloSGDConfig):
                 lr = lr_weight
             else:
                 lr = lr_bias
+            if cfg.opt_type == 'adam':
+                m = cfg.adam_b1 * buf[0] + (1 - cfg.adam_b1) * g
+                v = cfg.adam_b2 * buf[1] + (1 - cfg.adam_b2) * g * g
+                mhat = m / (1 - cfg.adam_b1**t)
+                vhat = v / (1 - cfg.adam_b2**t)
+                upd = mhat / (jnp.sqrt(vhat) + cfg.adam_eps)
+                return (p32 - lr * upd).astype(p.dtype), jnp.stack([m, v])
             buf = momentum * buf + g
             if cfg.nesterov:
                 g = g + momentum * buf
