@@ -12,9 +12,12 @@ from .fsaf_head import FSAFHead
 from .free_anchor_retina_head import FreeAnchorRetinaHead
 from .detr_head import DETRHead
 from .corner_head import CornerHead
+from .reppoints_head import RepPointsHead
+from .vfnet_head import VFNetHead
 
 __all__ = [
     'YOLOCSPHead', 'RetinaHead', 'YOLOV3Head', 'FCOSHead', 'SSDHead', 'SSD',
     'RPNHead', 'ATSSHead', 'GFLHead', 'YOLOFHead', 'FoveaHead', 'FSAFHead',
-    'FreeAnchorRetinaHead', 'DETRHead', 'CornerHead'
+    'FreeAnchorRetinaHead', 'DETRHead', 'CornerHead', 'RepPointsHead',
+    'VFNetHead'
 ]

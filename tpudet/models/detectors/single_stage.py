@@ -118,6 +118,34 @@ class FCOS(SingleStageDetector):
 
 
 @DETECTORS.register_module()
+class VFNet(SingleStageDetector):
+    """VarifocalNet (reference mmdet/models/detectors/vfnet.py)."""
+
+    def get_bboxes(self, pred_maps, **kwargs):
+        cfg = dict(self.test_cfg or {})
+        nms_cfg = cfg.pop('nms', None)
+        if nms_cfg is not None:
+            cfg['iou_thr'] = nms_cfg.get('iou_threshold', 0.6)
+        cfg.pop('min_bbox_size', None)
+        cfg.update(kwargs)
+        return self.bbox_head.get_bboxes(pred_maps, **cfg)
+
+
+@DETECTORS.register_module()
+class RepPointsDetector(SingleStageDetector):
+    """RepPoints (reference mmdet/models/detectors/reppoints_detector.py)."""
+
+    def get_bboxes(self, pred_maps, **kwargs):
+        cfg = dict(self.test_cfg or {})
+        nms_cfg = cfg.pop('nms', None)
+        if nms_cfg is not None:
+            cfg['iou_thr'] = nms_cfg.get('iou_threshold', 0.5)
+        cfg.pop('min_bbox_size', None)
+        cfg.update(kwargs)
+        return self.bbox_head.get_bboxes(pred_maps, **cfg)
+
+
+@DETECTORS.register_module()
 class CornerNet(SingleStageDetector):
     """CornerNet (reference mmdet/models/detectors/cornernet.py);
     keypoint-pair decoding + soft-NMS, no anchor machinery."""
