@@ -4,8 +4,10 @@ from .yolo_neck import YOLOV3Neck
 from .channel_mapper import ChannelMapper, DilatedEncoder
 from .hrfpn import HRFPN, BFP
 from .nas_fpn import NASFPN
+from .rfp import RFP, ASPP
 
 __all__ = [
     'YOLOV4Neck', 'YOLOV5Neck', 'FPN', 'PAFPN', 'YOLOV3Neck',
-    'ChannelMapper', 'DilatedEncoder', 'HRFPN', 'BFP', 'NASFPN'
+    'ChannelMapper', 'DilatedEncoder', 'HRFPN', 'BFP', 'NASFPN', 'RFP',
+    'ASPP'
 ]
