@@ -72,8 +72,7 @@ class TwoStageDetector(nn.Module):
         cls_logits, deltas = self.roi_head(feats, rois, sampled, True)
         roi_losses = self.roi_head.loss(cls_logits, deltas, labels, targets,
                                         pos, sampled)
-        losses['loss_cls'] = roi_losses['loss_cls']
-        losses['loss_bbox'] = roi_losses['loss_bbox']
+        losses.update(roi_losses)
         losses['num_gts'] = jnp.mean(
             jnp.sum(gt_valid.astype(jnp.float32), axis=1))
         return losses

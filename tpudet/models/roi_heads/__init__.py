@@ -2,6 +2,14 @@ from .bbox_head import Shared2FCBBoxHead
 from .standard_roi_head import StandardRoIHead
 from .mask_head import FCNMaskHead, MaskRoIHead, MaskRCNN
 from .cascade_roi_head import CascadeRoIHead, CascadeRCNN
+from .double_roi_head import DoubleHeadRoIHead, DoubleHeadRCNN
+from .mask_scoring_roi_head import MaskScoringRoIHead, MaskScoringRCNN
+from .dynamic_roi_head import DynamicRoIHead, DynamicRCNN
+from .trident_roi_head import TridentRoIHead, TridentFasterRCNN
 
-__all__ = ['Shared2FCBBoxHead', 'StandardRoIHead', 'FCNMaskHead',
-           'MaskRoIHead', 'MaskRCNN', 'CascadeRoIHead', 'CascadeRCNN']
+__all__ = [
+    'Shared2FCBBoxHead', 'StandardRoIHead', 'FCNMaskHead', 'MaskRoIHead',
+    'MaskRCNN', 'CascadeRoIHead', 'CascadeRCNN', 'DoubleHeadRoIHead',
+    'DoubleHeadRCNN', 'MaskScoringRoIHead', 'MaskScoringRCNN',
+    'DynamicRoIHead', 'DynamicRCNN', 'TridentRoIHead', 'TridentFasterRCNN'
+]

@@ -72,21 +72,27 @@ class StandardRoIHead(nn.Module):
 
     # ------------------------------------------------------------------
     def sample_rois(self, proposals, prop_valid, gt_bboxes, gt_labels,
-                    gt_valid, num_samples: Optional[int] = None):
+                    gt_valid, num_samples: Optional[int] = None,
+                    iou_thr=None):
         """Assign + static 'random' sampling -> fixed-size roi batch.
+
+        ``iou_thr`` (scalar, possibly traced) overrides the pos/neg/min
+        thresholds jointly — the DynamicRCNN adaptation hook.
 
         Returns rois (B, S, 4), roi_valid, labels (B, S) with background
         == num_classes, reg targets (B, S, 4), pos mask (B, S).
         """
         s = num_samples or self.num_samples
+        pos_thr = self.pos_iou_thr if iou_thr is None else iou_thr
+        neg_thr = self.neg_iou_thr if iou_thr is None else iou_thr
+        min_thr = self.min_pos_iou if iou_thr is None else iou_thr
         # append gts as proposals (reference add_gt_as_proposals=True)
         rois = jnp.concatenate([proposals, gt_bboxes], axis=1)
         valid = jnp.concatenate([prop_valid, gt_valid], axis=1)
 
         def assign_one(r, v, g, gv):
             from ...core.assigners import max_iou_assign
-            a = max_iou_assign(r, g, gv, self.pos_iou_thr, self.neg_iou_thr,
-                               self.min_pos_iou, True)
+            a = max_iou_assign(r, g, gv, pos_thr, neg_thr, min_thr, True)
             return jnp.where(v, a, -2)  # invalid rois -> ignore
 
         assigned = jax.vmap(assign_one)(rois, valid, gt_bboxes, gt_valid)
