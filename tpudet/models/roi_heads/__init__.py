@@ -6,10 +6,12 @@ from .double_roi_head import DoubleHeadRoIHead, DoubleHeadRCNN
 from .mask_scoring_roi_head import MaskScoringRoIHead, MaskScoringRCNN
 from .dynamic_roi_head import DynamicRoIHead, DynamicRCNN
 from .trident_roi_head import TridentRoIHead, TridentFasterRCNN
+from .htc_roi_head import HTCRoIHead, HybridTaskCascade, FusedSemanticHead
 
 __all__ = [
     'Shared2FCBBoxHead', 'StandardRoIHead', 'FCNMaskHead', 'MaskRoIHead',
     'MaskRCNN', 'CascadeRoIHead', 'CascadeRCNN', 'DoubleHeadRoIHead',
     'DoubleHeadRCNN', 'MaskScoringRoIHead', 'MaskScoringRCNN',
-    'DynamicRoIHead', 'DynamicRCNN', 'TridentRoIHead', 'TridentFasterRCNN'
+    'DynamicRoIHead', 'DynamicRCNN', 'TridentRoIHead', 'TridentFasterRCNN',
+    'HTCRoIHead', 'HybridTaskCascade', 'FusedSemanticHead'
 ]
