@@ -263,6 +263,8 @@ def hungarian_assign(cost: jnp.ndarray, gt_valid: jnp.ndarray) -> jnp.ndarray:
                 out[r] = cl
         return out
 
+    # indices carry no gradient; stop_gradient keeps JVP tracing out of the
+    # callback (pure_callback has no JVP rule)
     return jax.pure_callback(
-        host_lsa, jax.ShapeDtypeStruct((q,), jnp.int32), cost, gt_valid,
-        vmap_method='sequential')
+        host_lsa, jax.ShapeDtypeStruct((q,), jnp.int32),
+        jax.lax.stop_gradient(cost), gt_valid, vmap_method='sequential')

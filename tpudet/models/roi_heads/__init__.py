@@ -7,11 +7,14 @@ from .mask_scoring_roi_head import MaskScoringRoIHead, MaskScoringRCNN
 from .dynamic_roi_head import DynamicRoIHead, DynamicRCNN
 from .trident_roi_head import TridentRoIHead, TridentFasterRCNN
 from .htc_roi_head import HTCRoIHead, HybridTaskCascade, FusedSemanticHead
+from .sparse_roi_head import (SparseRoIHead, SparseRCNN, EmbeddingRPNHead,
+                              DIIHead)
 
 __all__ = [
     'Shared2FCBBoxHead', 'StandardRoIHead', 'FCNMaskHead', 'MaskRoIHead',
     'MaskRCNN', 'CascadeRoIHead', 'CascadeRCNN', 'DoubleHeadRoIHead',
     'DoubleHeadRCNN', 'MaskScoringRoIHead', 'MaskScoringRCNN',
     'DynamicRoIHead', 'DynamicRCNN', 'TridentRoIHead', 'TridentFasterRCNN',
-    'HTCRoIHead', 'HybridTaskCascade', 'FusedSemanticHead'
+    'HTCRoIHead', 'HybridTaskCascade', 'FusedSemanticHead', 'SparseRoIHead',
+    'SparseRCNN', 'EmbeddingRPNHead', 'DIIHead'
 ]
