@@ -294,7 +294,8 @@ def fast_nms(bboxes: jax.Array,
              score_thr: float,
              iou_thr: float,
              top_k: int = 200,
-             max_per_img: int = 100) -> NMSResult:
+             max_per_img: int = 100,
+             return_indices: bool = False):
     """YOLACT fast NMS (reference core/post_processing/bbox_nms.py:96):
     per class, keep the top-k by score and drop any box whose max IoU with
     a higher-scoring same-class box exceeds the threshold — already-removed
@@ -318,9 +319,13 @@ def fast_nms(bboxes: jax.Array,
     valid = top_vals > NEG_INF / 2
     cls_ids = (top_pos // k).astype(jnp.int32)
     det_boxes = boxes_ck.reshape(-1, 4)[top_pos]
-    return NMSResult(jnp.where(valid[:, None], det_boxes, 0.),
-                     jnp.where(valid, top_vals, 0.),
-                     jnp.where(valid, cls_ids, -1), valid)
+    res = NMSResult(jnp.where(valid[:, None], det_boxes, 0.),
+                    jnp.where(valid, top_vals, 0.),
+                    jnp.where(valid, cls_ids, -1), valid)
+    if return_indices:
+        # original row index of each detection (YOLACT coeff lookup)
+        return res, idx.reshape(-1)[top_pos]
+    return res
 
 
 def bbox_overlaps_ck(boxes):

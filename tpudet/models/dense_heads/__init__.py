@@ -14,10 +14,11 @@ from .detr_head import DETRHead
 from .corner_head import CornerHead
 from .reppoints_head import RepPointsHead
 from .vfnet_head import VFNetHead
+from .yolact_head import YOLACTHead, YOLACTProtonet, YOLACTSegmHead, YOLACT
 
 __all__ = [
     'YOLOCSPHead', 'RetinaHead', 'YOLOV3Head', 'FCOSHead', 'SSDHead', 'SSD',
     'RPNHead', 'ATSSHead', 'GFLHead', 'YOLOFHead', 'FoveaHead', 'FSAFHead',
     'FreeAnchorRetinaHead', 'DETRHead', 'CornerHead', 'RepPointsHead',
-    'VFNetHead'
+    'VFNetHead', 'YOLACTHead', 'YOLACTProtonet', 'YOLACTSegmHead', 'YOLACT'
 ]
