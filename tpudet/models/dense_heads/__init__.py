@@ -15,10 +15,14 @@ from .corner_head import CornerHead
 from .reppoints_head import RepPointsHead
 from .vfnet_head import VFNetHead
 from .yolact_head import YOLACTHead, YOLACTProtonet, YOLACTSegmHead, YOLACT
+from .pisa_heads import PISARetinaHead, PISASSDHead, PISARetinaNet
+from .ld_head import LDHead, KnowledgeDistillationSingleStageDetector
 
 __all__ = [
     'YOLOCSPHead', 'RetinaHead', 'YOLOV3Head', 'FCOSHead', 'SSDHead', 'SSD',
     'RPNHead', 'ATSSHead', 'GFLHead', 'YOLOFHead', 'FoveaHead', 'FSAFHead',
     'FreeAnchorRetinaHead', 'DETRHead', 'CornerHead', 'RepPointsHead',
-    'VFNetHead', 'YOLACTHead', 'YOLACTProtonet', 'YOLACTSegmHead', 'YOLACT'
+    'VFNetHead', 'YOLACTHead', 'YOLACTProtonet', 'YOLACTSegmHead', 'YOLACT',
+    'PISARetinaHead', 'PISASSDHead', 'PISARetinaNet', 'LDHead',
+    'KnowledgeDistillationSingleStageDetector'
 ]
