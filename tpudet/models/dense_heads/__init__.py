@@ -17,6 +17,8 @@ from .vfnet_head import VFNetHead
 from .yolact_head import YOLACTHead, YOLACTProtonet, YOLACTSegmHead, YOLACT
 from .pisa_heads import PISARetinaHead, PISASSDHead, PISARetinaNet
 from .ld_head import LDHead, KnowledgeDistillationSingleStageDetector
+from .paa_head import PAAHead, PAA
+from .autoassign_head import AutoAssignHead, AutoAssign
 
 __all__ = [
     'YOLOCSPHead', 'RetinaHead', 'YOLOV3Head', 'FCOSHead', 'SSDHead', 'SSD',
@@ -24,5 +26,5 @@ __all__ = [
     'FreeAnchorRetinaHead', 'DETRHead', 'CornerHead', 'RepPointsHead',
     'VFNetHead', 'YOLACTHead', 'YOLACTProtonet', 'YOLACTSegmHead', 'YOLACT',
     'PISARetinaHead', 'PISASSDHead', 'PISARetinaNet', 'LDHead',
-    'KnowledgeDistillationSingleStageDetector'
+    'KnowledgeDistillationSingleStageDetector', 'PAAHead', 'PAA', 'AutoAssignHead', 'AutoAssign'
 ]
