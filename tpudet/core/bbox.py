@@ -11,6 +11,7 @@ All boxes are xyxy float arrays; functions broadcast over leading dims.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -252,3 +253,152 @@ def bbox_cxcywh(bboxes):
     w = bboxes[..., 2] - bboxes[..., 0]
     h = bboxes[..., 3] - bboxes[..., 1]
     return jnp.stack([cx, cy, w, h], axis=-1)
+
+
+@BBOX_CODERS.register_module()
+class BucketingBBoxCoder:
+    """Side-aware bucketing coder (reference bucketing_bbox_coder.py):
+    each box side is localized by (a) classifying which of ``side_num``
+    buckets of the ``scale_factor``-rescaled proposal contains it and (b)
+    a fine offset from the bucket center in bucket units.
+
+    encode returns (bucket_labels, cls_weights, offsets, offset_weights)
+    each (..., 4, side_num); decode consumes
+    (cls_preds, offset_preds) of shape (..., 4*side_num) and also returns
+    the top bucket confidence ("bucketing-guided rescoring").
+    """
+
+    def __init__(self, num_buckets=14, scale_factor=3.0, offset_topk=2,
+                 offset_upperbound=1.0, cls_ignore_neighbor=True):
+        self.num_buckets = num_buckets
+        self.scale_factor = scale_factor
+        self.offset_topk = offset_topk
+        self.offset_upperbound = offset_upperbound
+        self.cls_ignore_neighbor = cls_ignore_neighbor
+
+    @property
+    def side_num(self):
+        return int(np.ceil(self.num_buckets / 2.0))
+
+    def _buckets(self, proposals):
+        cx = (proposals[..., 0] + proposals[..., 2]) * 0.5
+        cy = (proposals[..., 1] + proposals[..., 3]) * 0.5
+        w = (proposals[..., 2] - proposals[..., 0]) * self.scale_factor
+        h = (proposals[..., 3] - proposals[..., 1]) * self.scale_factor
+        px1, px2 = cx - w / 2, cx + w / 2
+        py1, py2 = cy - h / 2, cy + h / 2
+        bw = w / self.num_buckets
+        bh = h / self.num_buckets
+        steps = 0.5 + jnp.arange(self.side_num, dtype=jnp.float32)
+        l = px1[..., None] + steps * bw[..., None]
+        r = px2[..., None] - steps * bw[..., None]
+        t = py1[..., None] + steps * bh[..., None]
+        d = py2[..., None] - steps * bh[..., None]
+        return bw, bh, l, r, t, d
+
+    def encode(self, proposals, gts):
+        bw, bh, l, r, t, d = self._buckets(proposals)
+        sides = jnp.stack([l, r, t, d], axis=-2)  # (..., 4, S)
+        g = jnp.stack([gts[..., 0], gts[..., 2], gts[..., 1], gts[..., 3]],
+                      axis=-1)  # (..., 4)
+        scale = jnp.stack([bw, bw, bh, bh], axis=-1)  # (..., 4)
+        offsets = (sides - g[..., None]) / jnp.maximum(
+            scale[..., None], 1e-6)  # (..., 4, S)
+        absoff = jnp.abs(offsets)
+        # labels: nearest bucket one-hot; weights: topk buckets supervised
+        # when within the upperbound (bucketing_bbox_coder.bbox2bucket)
+        order = jnp.argsort(absoff, axis=-1)
+        nearest = order[..., 0]
+        labels = jax.nn.one_hot(nearest, self.side_num)
+        rank = jnp.argsort(order, axis=-1)
+        off_w = (rank < self.offset_topk).astype(jnp.float32)
+        if self.offset_upperbound is not None:
+            near_abs = jnp.take_along_axis(absoff, nearest[..., None],
+                                           -1)[..., 0]
+            ok = (near_abs <= self.offset_upperbound)[..., None]
+            off_w = off_w * ok
+        cls_w = jnp.ones_like(labels)
+        if self.cls_ignore_neighbor:
+            second = order[..., 1]
+            neighbor = jax.nn.one_hot(second, self.side_num)
+            cls_w = cls_w - neighbor * (1 - labels)
+        return labels, cls_w, offsets, off_w
+
+    def decode(self, proposals, pred_bboxes, max_shape=None):
+        cls_preds, offset_preds = pred_bboxes  # (..., 4*S) each
+        S = self.side_num
+        shape = cls_preds.shape[:-1] + (4, S)
+        scores = jax.nn.softmax(cls_preds.reshape(shape), axis=-1)
+        offs = offset_preds.reshape(shape)
+        top2, idx2 = jax.lax.top_k(scores, 2)
+        best = idx2[..., 0]  # (..., 4)
+        bw, bh, l, r, t, d = self._buckets(proposals)
+        sides = jnp.stack([l, r, t, d], axis=-2)
+        scale = jnp.stack([bw, bw, bh, bh], axis=-1)
+        pick_side = jnp.take_along_axis(sides, best[..., None], -1)[..., 0]
+        pick_off = jnp.take_along_axis(offs, best[..., None], -1)[..., 0]
+        edge = pick_side - pick_off * scale  # (..., 4) = x1, x2, y1, y2
+        x1, x2, y1, y2 = edge[..., 0], edge[..., 1], edge[..., 2], edge[..., 3]
+        if max_shape is not None:
+            x1 = jnp.clip(x1, 0, max_shape[1] - 1)
+            x2 = jnp.clip(x2, 0, max_shape[1] - 1)
+            y1 = jnp.clip(y1, 0, max_shape[0] - 1)
+            y2 = jnp.clip(y2, 0, max_shape[0] - 1)
+        boxes = jnp.stack([x1, y1, x2, y2], -1)
+        loc_conf = jnp.mean(top2[..., 0], axis=-1)  # mean top-bucket prob
+        return boxes, loc_conf
+
+
+@BBOX_CODERS.register_module()
+class LegacyDeltaXYWHBBoxCoder(DeltaXYWHBBoxCoder):
+    """mmdet v1.x delta coder (reference legacy_delta_xywh_bbox_coder.py):
+    width/height computed with the legacy +1 convention."""
+
+    def encode(self, bboxes, gt_bboxes):
+        px = (bboxes[..., 0] + bboxes[..., 2]) * 0.5
+        py = (bboxes[..., 1] + bboxes[..., 3]) * 0.5
+        pw = bboxes[..., 2] - bboxes[..., 0] + 1.0
+        ph = bboxes[..., 3] - bboxes[..., 1] + 1.0
+        gx = (gt_bboxes[..., 0] + gt_bboxes[..., 2]) * 0.5
+        gy = (gt_bboxes[..., 1] + gt_bboxes[..., 3]) * 0.5
+        gw = gt_bboxes[..., 2] - gt_bboxes[..., 0] + 1.0
+        gh = gt_bboxes[..., 3] - gt_bboxes[..., 1] + 1.0
+        deltas = jnp.stack([(gx - px) / pw, (gy - py) / ph,
+                            jnp.log(gw / pw), jnp.log(gh / ph)], -1)
+        return (deltas - self.means) / self.stds
+
+    def decode(self, bboxes, pred_bboxes, max_shape=None,
+               wh_ratio_clip=16 / 1000):
+        deltas = pred_bboxes * self.stds + self.means
+        max_ratio = abs(float(np.log(wh_ratio_clip)))
+        dw = jnp.clip(deltas[..., 2], -max_ratio, max_ratio)
+        dh = jnp.clip(deltas[..., 3], -max_ratio, max_ratio)
+        px = (bboxes[..., 0] + bboxes[..., 2]) * 0.5
+        py = (bboxes[..., 1] + bboxes[..., 3]) * 0.5
+        pw = bboxes[..., 2] - bboxes[..., 0] + 1.0
+        ph = bboxes[..., 3] - bboxes[..., 1] + 1.0
+        gw = pw * jnp.exp(dw)
+        gh = ph * jnp.exp(dh)
+        gx = px + pw * deltas[..., 0]
+        gy = py + ph * deltas[..., 1]
+        x1 = gx - (gw - 1) * 0.5
+        y1 = gy - (gh - 1) * 0.5
+        x2 = gx + (gw - 1) * 0.5
+        y2 = gy + (gh - 1) * 0.5
+        if max_shape is not None:
+            x1 = jnp.clip(x1, 0, max_shape[1] - 1)
+            y1 = jnp.clip(y1, 0, max_shape[0] - 1)
+            x2 = jnp.clip(x2, 0, max_shape[1] - 1)
+            y2 = jnp.clip(y2, 0, max_shape[0] - 1)
+        return jnp.stack([x1, y1, x2, y2], -1)
+
+
+@BBOX_CODERS.register_module()
+class PseudoBBoxCoder:
+    """Identity coder (reference pseudo_bbox_coder.py)."""
+
+    def encode(self, bboxes, gt_bboxes):
+        return gt_bboxes
+
+    def decode(self, bboxes, pred_bboxes, max_shape=None):
+        return pred_bboxes

@@ -19,6 +19,7 @@ from .pisa_heads import PISARetinaHead, PISASSDHead, PISARetinaNet
 from .ld_head import LDHead, KnowledgeDistillationSingleStageDetector
 from .paa_head import PAAHead, PAA
 from .autoassign_head import AutoAssignHead, AutoAssign
+from .sabl_retina_head import SABLRetinaHead, SABLRetinaNet
 
 __all__ = [
     'YOLOCSPHead', 'RetinaHead', 'YOLOV3Head', 'FCOSHead', 'SSDHead', 'SSD',
@@ -26,5 +27,5 @@ __all__ = [
     'FreeAnchorRetinaHead', 'DETRHead', 'CornerHead', 'RepPointsHead',
     'VFNetHead', 'YOLACTHead', 'YOLACTProtonet', 'YOLACTSegmHead', 'YOLACT',
     'PISARetinaHead', 'PISASSDHead', 'PISARetinaNet', 'LDHead',
-    'KnowledgeDistillationSingleStageDetector', 'PAAHead', 'PAA', 'AutoAssignHead', 'AutoAssign'
+    'KnowledgeDistillationSingleStageDetector', 'PAAHead', 'PAA', 'AutoAssignHead', 'AutoAssign', 'SABLRetinaHead', 'SABLRetinaNet'
 ]
