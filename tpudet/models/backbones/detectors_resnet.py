@@ -24,6 +24,7 @@ from .resnet import bn, conv
 class SAConv2d(nn.Module):
     features: int
     stride: int = 1
+    groups: int = 1
     dtype: Any = None
 
     @nn.compact
@@ -43,14 +44,15 @@ class SAConv2d(nn.Module):
                     bias_init=nn.initializers.ones, dtype=self.dtype,
                     name='switch')(s))
         kernel = self.param('kernel', nn.initializers.he_normal(),
-                            (3, 3, x.shape[-1], f))
+                            (3, 3, x.shape[-1] // self.groups, f))
         delta = self.param('weight_diff', nn.initializers.zeros,
-                           (3, 3, x.shape[-1], f))
+                           (3, 3, x.shape[-1] // self.groups, f))
 
         def run(k, dil):
             return jax.lax.conv_general_dilated(
                 x.astype(k.dtype), k, (self.stride, self.stride),
                 [(dil, dil), (dil, dil)], rhs_dilation=(dil, dil),
+                feature_group_count=self.groups,
                 dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
 
         out = switch * run(kernel, 1) + (1 - switch) * run(kernel + delta, 3)
@@ -68,19 +70,26 @@ class SACBottleneck(nn.Module):
     with_sac: bool = True
     rfp: bool = False  # accepts an rfp feedback input
     rfp_inplanes: int = 256  # feedback channels (ASPP concat width)
+    groups: int = 1  # ResNeXt grouping (detectors_resnext.py Bottleneck)
+    base_width: int = 4
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, rfp_feat=None, train: bool = False):
         identity = x
-        out = conv(self.planes, 1, 1, self.dtype, 'conv1')(x)
+        if self.groups == 1:
+            width = self.planes
+        else:
+            width = int(self.planes * (self.base_width / 64.)) * self.groups
+        out = conv(width, 1, 1, self.dtype, 'conv1')(x)
         out = nn.relu(bn(train, self.dtype, 'bn1')(out))
         if self.with_sac:
-            out = SAConv2d(self.planes, stride=self.stride, dtype=self.dtype,
-                           name='conv2')(out)
+            out = SAConv2d(width, stride=self.stride, groups=self.groups,
+                           dtype=self.dtype, name='conv2')(out)
         else:
-            out = nn.Conv(self.planes, (3, 3), (self.stride, self.stride),
+            out = nn.Conv(width, (3, 3), (self.stride, self.stride),
                           padding='SAME', use_bias=False, dtype=self.dtype,
+                          feature_group_count=self.groups,
                           kernel_init=nn.initializers.he_normal(),
                           name='conv2')(out)
         out = nn.relu(bn(train, self.dtype, 'bn2')(out))
@@ -113,6 +122,8 @@ class DetectoRSResNet(nn.Module):
     out_indices: Sequence[int] = (0, 1, 2, 3)
     output_img: bool = False  # prepend the raw image (consumed by RFP)
     rfp_inplanes: int = 256
+    groups: int = 1  # >1 -> DetectoRS-ResNeXt (detectors_resnext.py)
+    base_width: int = 4
     dtype: Any = None
 
     @nn.compact
@@ -136,7 +147,8 @@ class DetectoRSResNet(nn.Module):
                     planes, stride=stride if i == 0 else 1,
                     downsample=(i == 0), with_sac=self.sac_stages[stage],
                     rfp=(stage > 0 and i == 0),
-                    rfp_inplanes=self.rfp_inplanes, dtype=self.dtype,
+                    rfp_inplanes=self.rfp_inplanes, groups=self.groups,
+                    base_width=self.base_width, dtype=self.dtype,
                     name=f'layer{stage + 1}_{i}')(
                         x, rfp_feat if i == 0 else None, train)
             if stage in self.out_indices:
@@ -145,3 +157,11 @@ class DetectoRSResNet(nn.Module):
         if self.output_img:
             return (img,) + tuple(outs)
         return tuple(outs)
+
+
+@BACKBONES.register_module()
+class DetectoRSResNeXt(DetectoRSResNet):
+    """Grouped-bottleneck variant (reference detectors_resnext.py);
+    defaults match the x101-32x4d DetectoRS configs."""
+    groups: int = 32
+    base_width: int = 4

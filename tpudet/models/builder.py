@@ -54,8 +54,11 @@ def build_detector(cfg, train_cfg: Optional[Dict] = None,
         neck=neck,
         train_cfg=dict(train_cfg) if train_cfg else None,
         test_cfg=dict(test_cfg) if test_cfg else None)
-    if 'rpn_head' in cfg:  # two-stage (reference two_stage.py layout)
+    if 'rpn_head' in cfg:  # two-stage / RPN-only (reference two_stage.py)
         kwargs['rpn_head'] = build_head(cfg.pop('rpn_head'))
+        if 'roi_head' in cfg:
+            kwargs['roi_head'] = build_head(cfg.pop('roi_head'))
+    elif 'roi_head' in cfg:  # FastRCNN: precomputed proposals, no RPN
         kwargs['roi_head'] = build_head(cfg.pop('roi_head'))
     else:
         kwargs['bbox_head'] = build_head(cfg.pop('bbox_head'))

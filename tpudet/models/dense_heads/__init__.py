@@ -20,8 +20,10 @@ from .ld_head import LDHead, KnowledgeDistillationSingleStageDetector
 from .paa_head import PAAHead, PAA
 from .autoassign_head import AutoAssignHead, AutoAssign
 from .sabl_retina_head import SABLRetinaHead, SABLRetinaNet
+from .retina_sepbn_head import RetinaSepBNHead
 
 __all__ = [
+    'RetinaSepBNHead',
     'YOLOCSPHead', 'RetinaHead', 'YOLOV3Head', 'FCOSHead', 'SSDHead', 'SSD',
     'RPNHead', 'ATSSHead', 'GFLHead', 'YOLOFHead', 'FoveaHead', 'FSAFHead',
     'FreeAnchorRetinaHead', 'DETRHead', 'CornerHead', 'RepPointsHead',
