@@ -33,17 +33,12 @@ from .ssd_head import SSDHead
 EPS = 1e-12
 
 
-def isr_p_weights(ious, labels, gt_ids, pos, k=2.0, bias=0.0):
-    """Dense IoU-HLR importance weights for a capped positive set.
+def isr_weights_masks(ious, same_gt, same_label, pos, k=2.0, bias=0.0):
+    """Dense IoU-HLR importance weights from pairwise grouping masks.
 
-    Args: all (K,) — decoded-pred IoU with the target, class label, a
-    batch-unique gt id, positive mask. Returns (K,) weights (1 where not
+    ious/pos: (K,); same_gt/same_label: (K, K) pairwise masks already
+    restricted to positive pairs. Returns (K,) weights (1 where not
     positive)."""
-    kk = ious.shape[0]
-    same_gt = (gt_ids[:, None] == gt_ids[None, :]) & \
-        (labels[:, None] == labels[None, :]) & pos[:, None] & pos[None, :]
-    same_label = (labels[:, None] == labels[None, :]) & pos[:, None] & \
-        pos[None, :]
     # max count of positives sharing a label (bincount().max())
     label_cnt = jnp.sum(same_label, axis=1)
     max_l_num = jnp.maximum(jnp.max(jnp.where(pos, label_cnt, 0)), 1)
@@ -54,6 +49,19 @@ def isr_p_weights(ious, labels, gt_ids, pos, k=2.0, bias=0.0):
     w = (max_l_num - rank_l).astype(jnp.float32) / max_l_num
     imp = (bias + w * (1 - bias))**k
     return jnp.where(pos, imp, 1.0)
+
+
+def isr_p_weights(ious, labels, gt_ids, pos, k=2.0, bias=0.0):
+    """IoU-HLR weights for a capped positive set keyed by integer gt ids.
+
+    Args: all (K,) — decoded-pred IoU with the target, class label, a
+    batch-unique gt id, positive mask. Returns (K,) weights (1 where not
+    positive)."""
+    same_gt = (gt_ids[:, None] == gt_ids[None, :]) & \
+        (labels[:, None] == labels[None, :]) & pos[:, None] & pos[None, :]
+    same_label = (labels[:, None] == labels[None, :]) & pos[:, None] & \
+        pos[None, :]
+    return isr_weights_masks(ious, same_gt, same_label, pos, k, bias)
 
 
 def carl_weights(pos_cls_score, pos, k=1.0, bias=0.2):

@@ -86,7 +86,7 @@ class FastRCNN(nn.Module):
             proposals, prop_valid, gt_bboxes, gt_labels, gt_valid)
         cls_logits, deltas = self.roi_head(feats, rois, sampled, True)
         losses = self.roi_head.loss(cls_logits, deltas, labels, targets,
-                                    pos, sampled)
+                                    pos, sampled, rois=rois)
         losses['num_gts'] = jnp.mean(
             jnp.sum(gt_valid.astype(jnp.float32), axis=1))
         return losses

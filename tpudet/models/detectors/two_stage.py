@@ -71,7 +71,7 @@ class TwoStageDetector(nn.Module):
             proposals, prop_valid, gt_bboxes, gt_labels, gt_valid)
         cls_logits, deltas = self.roi_head(feats, rois, sampled, True)
         roi_losses = self.roi_head.loss(cls_logits, deltas, labels, targets,
-                                        pos, sampled)
+                                        pos, sampled, rois=rois)
         losses.update(roi_losses)
         losses['num_gts'] = jnp.mean(
             jnp.sum(gt_valid.astype(jnp.float32), axis=1))

@@ -9,6 +9,8 @@ from .trident_roi_head import TridentRoIHead, TridentFasterRCNN
 from .htc_roi_head import HTCRoIHead, HybridTaskCascade, FusedSemanticHead
 from .sparse_roi_head import (SparseRoIHead, SparseRCNN, EmbeddingRPNHead,
                               DIIHead)
+from .pisa_roi_head import PISARoIHead, PISAFasterRCNN
+from .grid_roi_head import GridHead, GridRoIHead, GridRCNN
 
 __all__ = [
     'Shared2FCBBoxHead', 'StandardRoIHead', 'FCNMaskHead', 'MaskRoIHead',
@@ -16,5 +18,6 @@ __all__ = [
     'DoubleHeadRCNN', 'MaskScoringRoIHead', 'MaskScoringRCNN',
     'DynamicRoIHead', 'DynamicRCNN', 'TridentRoIHead', 'TridentFasterRCNN',
     'HTCRoIHead', 'HybridTaskCascade', 'FusedSemanticHead', 'SparseRoIHead',
-    'SparseRCNN', 'EmbeddingRPNHead', 'DIIHead'
+    'SparseRCNN', 'EmbeddingRPNHead', 'DIIHead', 'PISARoIHead',
+    'PISAFasterRCNN', 'GridHead', 'GridRoIHead', 'GridRCNN'
 ]

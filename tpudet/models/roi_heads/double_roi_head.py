@@ -76,7 +76,7 @@ class DoubleHeadRoIHead(StandardRoIHead):
             num_classes=self.num_classes, dtype=self.dtype)
 
     def loss(self, cls_logits, deltas, labels, targets, pos,
-             sampled) -> Dict:
+             sampled, rois=None) -> Dict:
         out = StandardRoIHead.loss(self, cls_logits, deltas, labels,
                                    targets, pos, sampled)
         # reference double_roi_head config: loss weights 2.0 on both heads

@@ -56,7 +56,7 @@ class DynamicRoIHead(StandardRoIHead):
             iou_thr=thr)
 
     def loss(self, cls_logits, deltas, labels, targets, pos,
-             sampled) -> Dict:
+             sampled, rois=None) -> Dict:
         out = StandardRoIHead.loss(self, cls_logits, deltas, labels,
                                    targets, pos, sampled)
         # dynamic smooth-l1: beta = beta_topk-th smallest positive |error|

@@ -131,7 +131,8 @@ class StandardRoIHead(nn.Module):
         targets = self.bbox_coder.encode(out_rois, matched)
         return out_rois, out_sampled, labels, targets, out_pos
 
-    def loss(self, cls_logits, deltas, labels, targets, pos, sampled) -> Dict:
+    def loss(self, cls_logits, deltas, labels, targets, pos, sampled,
+             rois=None) -> Dict:
         """Softmax CE + class-specific L1 (reference bbox_head.loss)."""
         num_total = jnp.maximum(jnp.sum(sampled.astype(jnp.float32)), 1.0)
         logp = jax.nn.log_softmax(cls_logits.astype(jnp.float32), axis=-1)

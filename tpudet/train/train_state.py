@@ -37,7 +37,55 @@ class TrainState:
 
 
 def create_train_state(model, rng, sample_img, opt_cfg: YoloSGDConfig):
-    """Initialize params/BN stats/EMA copies/momentum buffers."""
+    """Initialize params/BN stats/EMA copies/momentum buffers.
+
+    Models whose train-only branches own parameters (grid head, mask
+    head, ...) only create them in ``forward_train``, so initialization
+    goes through it when present, synthesizing dummy gt args by
+    parameter name."""
+    if hasattr(model, 'forward_train'):
+        import inspect
+        b = sample_img.shape[0]
+        g = 8
+        dummies = {
+            'gt_bboxes': jnp.tile(jnp.asarray([[0., 0., 32., 32.]]),
+                                  (b, g, 1)).reshape(b, g, 4),
+            'gt_labels': jnp.zeros((b, g), jnp.int32),
+            'gt_valid': jnp.ones((b, g), bool),
+            'gt_frame_masks': jnp.ones((b, g, 16, 16), jnp.float32),
+            'gt_semantic_seg': jnp.zeros(
+                (b, sample_img.shape[1] // 8, sample_img.shape[2] // 8),
+                jnp.int32),
+            'proposals': jnp.tile(jnp.asarray([[0., 0., 32., 32.]]),
+                                  (b, 16, 1)).reshape(b, 16, 4),
+            'prop_valid': jnp.ones((b, 16), bool),
+        }
+        sig = inspect.signature(model.forward_train)
+        args = []
+        ok = True
+        for name, p in list(sig.parameters.items()):
+            if name == 'img':
+                args.append(sample_img)
+            elif name in dummies:
+                args.append(dummies[name])
+            elif p.default is not inspect.Parameter.empty:
+                break
+            else:
+                ok = False
+                break
+        if ok:
+            variables = jax.jit(model.init, static_argnames=('method',))(
+                rng, *args, method='forward_train')
+            params = variables['params']
+            batch_stats = variables.get('batch_stats', {})
+            init_fn, _ = make_yolo_sgd(opt_cfg)
+            return TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=params,
+                batch_stats=batch_stats,
+                ema_params=jax.tree.map(jnp.copy, params),
+                ema_batch_stats=jax.tree.map(jnp.copy, batch_stats),
+                opt_state=init_fn(params))
     variables = jax.jit(model.init)(rng, sample_img)
     params = variables['params']
     batch_stats = variables.get('batch_stats', {})
