@@ -11,6 +11,8 @@ from .sparse_roi_head import (SparseRoIHead, SparseRCNN, EmbeddingRPNHead,
                               DIIHead)
 from .pisa_roi_head import PISARoIHead, PISAFasterRCNN
 from .grid_roi_head import GridHead, GridRoIHead, GridRCNN
+from .point_rend_roi_head import (CoarseMaskHead, MaskPointHead,
+                                  PointRendRoIHead, PointRend)
 
 __all__ = [
     'Shared2FCBBoxHead', 'StandardRoIHead', 'FCNMaskHead', 'MaskRoIHead',
@@ -19,5 +21,6 @@ __all__ = [
     'DynamicRoIHead', 'DynamicRCNN', 'TridentRoIHead', 'TridentFasterRCNN',
     'HTCRoIHead', 'HybridTaskCascade', 'FusedSemanticHead', 'SparseRoIHead',
     'SparseRCNN', 'EmbeddingRPNHead', 'DIIHead', 'PISARoIHead',
-    'PISAFasterRCNN', 'GridHead', 'GridRoIHead', 'GridRCNN'
+    'PISAFasterRCNN', 'GridHead', 'GridRoIHead', 'GridRCNN',
+    'CoarseMaskHead', 'MaskPointHead', 'PointRendRoIHead', 'PointRend'
 ]
