@@ -13,6 +13,8 @@ from .pisa_roi_head import PISARoIHead, PISAFasterRCNN
 from .grid_roi_head import GridHead, GridRoIHead, GridRCNN
 from .point_rend_roi_head import (CoarseMaskHead, MaskPointHead,
                                   PointRendRoIHead, PointRend)
+from .scnet_roi_head import (SCNetRoIHead, SCNet, GlobalContextHead,
+                             SCNetMaskHead, SCNetBBoxHead)
 
 __all__ = [
     'Shared2FCBBoxHead', 'StandardRoIHead', 'FCNMaskHead', 'MaskRoIHead',
@@ -22,5 +24,7 @@ __all__ = [
     'HTCRoIHead', 'HybridTaskCascade', 'FusedSemanticHead', 'SparseRoIHead',
     'SparseRCNN', 'EmbeddingRPNHead', 'DIIHead', 'PISARoIHead',
     'PISAFasterRCNN', 'GridHead', 'GridRoIHead', 'GridRCNN',
-    'CoarseMaskHead', 'MaskPointHead', 'PointRendRoIHead', 'PointRend'
+    'CoarseMaskHead', 'MaskPointHead', 'PointRendRoIHead', 'PointRend',
+    'SCNetRoIHead', 'SCNet', 'GlobalContextHead', 'SCNetMaskHead',
+    'SCNetBBoxHead'
 ]
