@@ -19,8 +19,12 @@ def test_config_builds(cfg_path):
     assert 'model' in cfg
     model = build_detector(cfg['model'])
     assert model.backbone is not None
-    if 'rpn_head' in cfg['model']:
+    if 'rpn_head' in cfg['model'] and 'roi_head' in cfg['model']:
         assert model.rpn_head is not None and model.roi_head is not None
+    elif 'rpn_head' in cfg['model']:  # proposal-only RPN
+        assert model.rpn_head is not None
+    elif 'roi_head' in cfg['model']:  # FastRCNN
+        assert model.roi_head is not None
     else:
         assert model.bbox_head is not None
     # data section sanity

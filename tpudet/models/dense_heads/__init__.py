@@ -21,9 +21,12 @@ from .paa_head import PAAHead, PAA
 from .autoassign_head import AutoAssignHead, AutoAssign
 from .sabl_retina_head import SABLRetinaHead, SABLRetinaNet
 from .retina_sepbn_head import RetinaSepBNHead
+from .guided_anchor_head import (FeatureAdaption, GARetinaHead, GARPNHead,
+                                 GARetinaNet)
 
 __all__ = [
-    'RetinaSepBNHead',
+    'RetinaSepBNHead', 'FeatureAdaption', 'GARetinaHead', 'GARPNHead',
+    'GARetinaNet',
     'YOLOCSPHead', 'RetinaHead', 'YOLOV3Head', 'FCOSHead', 'SSDHead', 'SSD',
     'RPNHead', 'ATSSHead', 'GFLHead', 'YOLOFHead', 'FoveaHead', 'FSAFHead',
     'FreeAnchorRetinaHead', 'DETRHead', 'CornerHead', 'RepPointsHead',

@@ -73,6 +73,33 @@ def iou_loss(pred, target, weight=None, reduction='mean', avg_factor=None,
     return loss_weight * reduce_loss(loss, reduction, weight, avg_factor)
 
 
+def bounded_iou_loss(pred, target, beta=0.2, weight=None, reduction='mean',
+                     avg_factor=None, loss_weight=1.0, eps=1e-3):
+    """Bounded IoU loss (reference iou_loss.py:41-82, Fitness-NMS paper):
+    per-coordinate bounded IoU terms through a smooth-L1 envelope. The
+    target branch is constant (no_grad in the reference). Returns a
+    (..., 4) per-coordinate loss before reduction."""
+    pcx = (pred[..., 0] + pred[..., 2]) * 0.5
+    pcy = (pred[..., 1] + pred[..., 3]) * 0.5
+    pw = pred[..., 2] - pred[..., 0]
+    ph = pred[..., 3] - pred[..., 1]
+    t = jax.lax.stop_gradient(target)
+    tcx = (t[..., 0] + t[..., 2]) * 0.5
+    tcy = (t[..., 1] + t[..., 3]) * 0.5
+    tw = t[..., 2] - t[..., 0]
+    th = t[..., 3] - t[..., 1]
+    dx = jnp.abs(tcx - pcx)
+    dy = jnp.abs(tcy - pcy)
+    loss_dx = 1 - jnp.maximum((tw - 2 * dx) / (tw + 2 * dx + eps), 0.)
+    loss_dy = 1 - jnp.maximum((th - 2 * dy) / (th + 2 * dy + eps), 0.)
+    loss_dw = 1 - jnp.minimum(tw / (pw + eps), pw / (tw + eps))
+    loss_dh = 1 - jnp.minimum(th / (ph + eps), ph / (th + eps))
+    comb = jnp.stack([loss_dx, loss_dy, loss_dw, loss_dh], axis=-1)
+    loss = jnp.where(comb < beta, 0.5 * comb * comb / beta,
+                     comb - 0.5 * beta)
+    return loss_weight * reduce_loss(loss, reduction, weight, avg_factor)
+
+
 def smooth_l1_loss(pred, target, beta=1.0, weight=None, reduction='mean',
                    avg_factor=None, loss_weight=1.0):
     """Reference smooth_l1_loss.py."""
