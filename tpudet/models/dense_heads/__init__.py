@@ -23,10 +23,11 @@ from .sabl_retina_head import SABLRetinaHead, SABLRetinaNet
 from .retina_sepbn_head import RetinaSepBNHead
 from .guided_anchor_head import (FeatureAdaption, GARetinaHead, GARPNHead,
                                  GARetinaNet)
+from .nasfcos_head import NASFCOSHead, NASFCOS
 
 __all__ = [
     'RetinaSepBNHead', 'FeatureAdaption', 'GARetinaHead', 'GARPNHead',
-    'GARetinaNet',
+    'GARetinaNet', 'NASFCOSHead', 'NASFCOS',
     'YOLOCSPHead', 'RetinaHead', 'YOLOV3Head', 'FCOSHead', 'SSDHead', 'SSD',
     'RPNHead', 'ATSSHead', 'GFLHead', 'YOLOFHead', 'FoveaHead', 'FSAFHead',
     'FreeAnchorRetinaHead', 'DETRHead', 'CornerHead', 'RepPointsHead',

@@ -5,9 +5,10 @@ from .channel_mapper import ChannelMapper, DilatedEncoder
 from .hrfpn import HRFPN, BFP
 from .nas_fpn import NASFPN
 from .rfp import RFP, ASPP
+from .nasfcos_fpn import NASFCOS_FPN, ConcatCell
 
 __all__ = [
     'YOLOV4Neck', 'YOLOV5Neck', 'FPN', 'PAFPN', 'YOLOV3Neck',
     'ChannelMapper', 'DilatedEncoder', 'HRFPN', 'BFP', 'NASFPN', 'RFP',
-    'ASPP'
+    'ASPP', 'NASFCOS_FPN', 'ConcatCell'
 ]
