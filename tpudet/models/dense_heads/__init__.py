@@ -24,10 +24,11 @@ from .retina_sepbn_head import RetinaSepBNHead
 from .guided_anchor_head import (FeatureAdaption, GARetinaHead, GARPNHead,
                                  GARetinaNet)
 from .nasfcos_head import NASFCOSHead, NASFCOS
+from .cascade_rpn_head import CascadeRPNHead, StageCascadeRPN
 
 __all__ = [
     'RetinaSepBNHead', 'FeatureAdaption', 'GARetinaHead', 'GARPNHead',
-    'GARetinaNet', 'NASFCOSHead', 'NASFCOS',
+    'GARetinaNet', 'NASFCOSHead', 'NASFCOS', 'CascadeRPNHead', 'StageCascadeRPN',
     'YOLOCSPHead', 'RetinaHead', 'YOLOV3Head', 'FCOSHead', 'SSDHead', 'SSD',
     'RPNHead', 'ATSSHead', 'GFLHead', 'YOLOFHead', 'FoveaHead', 'FSAFHead',
     'FreeAnchorRetinaHead', 'DETRHead', 'CornerHead', 'RepPointsHead',

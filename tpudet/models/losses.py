@@ -65,11 +65,11 @@ def giou_loss(pred, target, weight=None, reduction='mean', avg_factor=None,
 
 
 def iou_loss(pred, target, weight=None, reduction='mean', avg_factor=None,
-             loss_weight=1.0, eps=1e-6):
-    """-log(IoU) (reference iou_loss.py:15-43)."""
+             loss_weight=1.0, eps=1e-6, linear=False):
+    """-log(IoU), or 1 - IoU when ``linear`` (reference iou_loss.py:15-43)."""
     ious = jnp.clip(
         bbox_overlaps_aligned(pred, target, mode='iou', eps=eps), eps, None)
-    loss = -jnp.log(ious)
+    loss = (1 - ious) if linear else -jnp.log(ious)
     return loss_weight * reduce_loss(loss, reduction, weight, avg_factor)
 
 
