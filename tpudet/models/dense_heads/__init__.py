@@ -25,10 +25,11 @@ from .guided_anchor_head import (FeatureAdaption, GARetinaHead, GARPNHead,
                                  GARetinaNet)
 from .nasfcos_head import NASFCOSHead, NASFCOS
 from .cascade_rpn_head import CascadeRPNHead, StageCascadeRPN
+from .centripetal_head import CentripetalHead, CentripetalNet
 
 __all__ = [
     'RetinaSepBNHead', 'FeatureAdaption', 'GARetinaHead', 'GARPNHead',
-    'GARetinaNet', 'NASFCOSHead', 'NASFCOS', 'CascadeRPNHead', 'StageCascadeRPN',
+    'GARetinaNet', 'NASFCOSHead', 'NASFCOS', 'CascadeRPNHead', 'StageCascadeRPN', 'CentripetalHead', 'CentripetalNet',
     'YOLOCSPHead', 'RetinaHead', 'YOLOV3Head', 'FCOSHead', 'SSDHead', 'SSD',
     'RPNHead', 'ATSSHead', 'GFLHead', 'YOLOFHead', 'FoveaHead', 'FSAFHead',
     'FreeAnchorRetinaHead', 'DETRHead', 'CornerHead', 'RepPointsHead',
