@@ -70,7 +70,7 @@ def main():
                 aug['img'], train=True, mutable=['batch_stats'])
             losses = model.loss(pred_maps, aug['gt_bboxes'],
                                 aug['gt_labels'], aug['gt_valid'])
-            total = sum(v for k, v in losses.items() if k.startswith('loss'))
+            total = sum(v for k, v in losses.items() if 'loss' in k)
             return total, (losses, mutated['batch_stats'])
     else:
         xy = rng.rand(b, g, 2).astype(np.float32) * s * 0.7

@@ -151,7 +151,7 @@ def train_detector(cfg: Config,
             losses, mutated = model.apply(
                 {'params': params, 'batch_stats': batch_stats},
                 *args, method='forward_train', mutable=['batch_stats'])
-            total = sum(v for k, v in losses.items() if k.startswith('loss'))
+            total = sum(v for k, v in losses.items() if 'loss' in k)
             return total, (losses, mutated['batch_stats'])
     elif device_aug is not None:
         from ..data.device_aug import device_mosaic_affine
@@ -170,7 +170,7 @@ def train_detector(cfg: Config,
             losses = model.loss(pred_maps, aug['gt_bboxes'],
                                 aug['gt_labels'], aug['gt_valid'])
             total = sum(v for k, v in losses.items()
-                        if k.startswith('loss'))
+                        if 'loss' in k)
             return total, (losses, mutated['batch_stats'])
 
     train_step = make_train_step(

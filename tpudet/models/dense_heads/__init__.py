@@ -26,10 +26,13 @@ from .guided_anchor_head import (FeatureAdaption, GARetinaHead, GARPNHead,
 from .nasfcos_head import NASFCOSHead, NASFCOS
 from .cascade_rpn_head import CascadeRPNHead, StageCascadeRPN
 from .centripetal_head import CentripetalHead, CentripetalNet
+from .deformable_detr_head import (DeformableDETRHead, DeformableDETR,
+                                   MSDeformAttention)
 
 __all__ = [
     'RetinaSepBNHead', 'FeatureAdaption', 'GARetinaHead', 'GARPNHead',
-    'GARetinaNet', 'NASFCOSHead', 'NASFCOS', 'CascadeRPNHead', 'StageCascadeRPN', 'CentripetalHead', 'CentripetalNet',
+    'GARetinaNet', 'NASFCOSHead', 'NASFCOS', 'CascadeRPNHead', 'StageCascadeRPN', 'CentripetalHead', 'CentripetalNet', 'DeformableDETRHead',
+    'DeformableDETR', 'MSDeformAttention',
     'YOLOCSPHead', 'RetinaHead', 'YOLOV3Head', 'FCOSHead', 'SSDHead', 'SSD',
     'RPNHead', 'ATSSHead', 'GFLHead', 'YOLOFHead', 'FoveaHead', 'FSAFHead',
     'FreeAnchorRetinaHead', 'DETRHead', 'CornerHead', 'RepPointsHead',

@@ -133,7 +133,7 @@ def make_train_step(model,
             batch['img'], train=True, mutable=['batch_stats'])
         losses = model.loss(pred_maps, batch['gt_bboxes'],
                             batch['gt_labels'], batch['gt_valid'])
-        total = sum(v for k, v in losses.items() if k.startswith('loss'))
+        total = sum(v for k, v in losses.items() if 'loss' in k)
         return total, (losses, mutated['batch_stats'])
 
     compute_loss = loss_fn or default_loss
