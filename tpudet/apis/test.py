@@ -63,7 +63,13 @@ def single_device_test(model, variables, dataset, batch_size: int = 8,
 
     from ..data.loader import DetDataLoader
 
-    num_classes = model.bbox_head.num_classes
+    # single-stage heads, two-stage roi heads, or proposal-only RPN
+    if hasattr(model, 'bbox_head'):
+        num_classes = model.bbox_head.num_classes
+    elif hasattr(model, 'roi_head'):
+        num_classes = model.roi_head.num_classes
+    else:
+        num_classes = 1
 
     @jax.jit
     def infer(variables, img, scale_factor):

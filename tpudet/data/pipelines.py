@@ -460,3 +460,26 @@ class MultiScaleFlipAug:
                 aug_results.append(self.transforms(r))
         # single-aug fast path returns the plain dict
         return aug_results[0] if len(aug_results) == 1 else aug_results
+
+
+@PIPELINES.register_module()
+class Corrupt:
+    """Apply a named robustness-benchmark corruption (reference
+    pipelines/transforms.py Corrupt, backed by the native
+    tpudet.data.corruptions implementations instead of the external
+    imagecorruptions package). Operates on the BGR pipeline image."""
+
+    def __init__(self, corruption: str, severity: int = 1):
+        self.corruption = corruption
+        self.severity = severity
+
+    def __call__(self, results):
+        if self.severity == 0:
+            return results
+        from .corruptions import corrupt
+        img = results['img']
+        rgb = np.ascontiguousarray(img[..., ::-1])
+        out = corrupt(rgb, self.corruption, self.severity,
+                      seed=hash(results.get('ori_filename', '')) & 0xffff)
+        results['img'] = np.ascontiguousarray(out[..., ::-1])
+        return results
