@@ -1,4 +1,4 @@
-from .bbox_head import Shared2FCBBoxHead
+from .bbox_head import Shared2FCBBoxHead, Shared4Conv1FCBBoxHead
 from .standard_roi_head import StandardRoIHead
 from .mask_head import FCNMaskHead, MaskRoIHead, MaskRCNN
 from .cascade_roi_head import CascadeRoIHead, CascadeRCNN
@@ -15,9 +15,13 @@ from .point_rend_roi_head import (CoarseMaskHead, MaskPointHead,
                                   PointRendRoIHead, PointRend)
 from .scnet_roi_head import (SCNetRoIHead, SCNet, GlobalContextHead,
                              SCNetMaskHead, SCNetBBoxHead)
+from .sabl_roi_head import SABLRoIHead, SABLBBoxHead, SABLFasterRCNN
+from .res_layer_head import C4RoIHead, ResLayerSharedHead, FasterRCNNC4
 
 __all__ = [
-    'Shared2FCBBoxHead', 'StandardRoIHead', 'FCNMaskHead', 'MaskRoIHead',
+    'Shared2FCBBoxHead', 'Shared4Conv1FCBBoxHead', 'SABLRoIHead',
+    'SABLBBoxHead', 'SABLFasterRCNN', 'C4RoIHead',
+    'ResLayerSharedHead', 'FasterRCNNC4', 'StandardRoIHead', 'FCNMaskHead', 'MaskRoIHead',
     'MaskRCNN', 'CascadeRoIHead', 'CascadeRCNN', 'DoubleHeadRoIHead',
     'DoubleHeadRCNN', 'MaskScoringRoIHead', 'MaskScoringRCNN',
     'DynamicRoIHead', 'DynamicRCNN', 'TridentRoIHead', 'TridentFasterRCNN',

@@ -95,3 +95,28 @@ def multilevel_roi_align(feats, rois, roi_valid, out_size: int = 7,
         mask = (target == lvl) & roi_valid
         out = out + pooled * mask[:, None, None, None]
     return out
+
+
+def generic_roi_align(feats, rois, roi_valid, out_size: int = 7,
+                      strides=(4, 8, 16, 32), sampling_ratio: int = 2,
+                      aggregation: str = 'sum'):
+    """GenericRoIExtractor (reference roi_heads/roi_extractors/
+    generic_roi_extractor.py): pool EVERY level for every roi and
+    aggregate by 'sum' or 'concat' (instead of SingleRoIExtractor's
+    scale-based level selection).
+
+    Args/returns like :func:`multilevel_roi_align`; 'concat' returns
+    (P, out, out, C * num_levels).
+    """
+    pooled = [
+        roi_align(feats[lvl], rois, out_size=out_size,
+                  spatial_scale=1.0 / strides[lvl],
+                  sampling_ratio=sampling_ratio)
+        for lvl in range(len(strides))
+    ]
+    import jax.numpy as jnp
+    if aggregation == 'concat':
+        out = jnp.concatenate(pooled, axis=-1)
+    else:
+        out = sum(pooled)
+    return out * roi_valid[:, None, None, None]
