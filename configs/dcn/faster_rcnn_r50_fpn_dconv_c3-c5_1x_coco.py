@@ -1,0 +1,5 @@
+# DCNv2 backbone (reference configs/dcn/faster_rcnn_r50_fpn_dconv_c3-c5).
+_base_ = '../faster_rcnn/faster_rcnn_r50_fpn_1x_coco.py'
+model = dict(
+    backbone=dict(stage_with_dcn=[False, True, True, True]),
+)

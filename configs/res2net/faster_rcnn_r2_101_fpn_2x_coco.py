@@ -1,0 +1,7 @@
+# Res2Net backbone (reference configs/res2net/faster_rcnn_r2_101_fpn_2x).
+_base_ = '../faster_rcnn/faster_rcnn_r50_fpn_1x_coco.py'
+model = dict(
+    backbone=dict(_delete_=True, type='Res2Net', depth=101,
+                  scales=4, base_width=26, out_indices=[0, 1, 2, 3]),
+)
+runner = dict(type='EpochBasedRunner', max_epochs=24)

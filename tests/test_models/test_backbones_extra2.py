@@ -46,3 +46,22 @@ def test_trident_resnet_branches():
     # trident conv2 kernel is shared across branches: one param per block
     keys = [k for k in vs['params'] if k.startswith('trident0')]
     assert 'trident0_conv2_kernel' in vs['params']
+
+
+def test_resnet_dcn_stages():
+    """DCNv2 bottlenecks (configs/dcn): zero-init offsets make the block
+    numerically a plain conv at init; shape contract preserved."""
+    import jax
+    import jax.numpy as jnp
+    from tpudet.models.builder import build_backbone
+    bb = build_backbone(dict(type='ResNet', depth=50,
+                             out_indices=[0, 1, 2, 3],
+                             stage_with_dcn=[False, True, True, True]))
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = jax.jit(bb.init)(jax.random.PRNGKey(0), x)
+    outs = jax.jit(bb.apply)(variables, x)
+    assert [o.shape[-1] for o in outs] == [256, 512, 1024, 2048]
+    # dcn offset conv exists in stage 2+ but not stage 1
+    p = variables['params']
+    assert 'conv_offset' in p['layer2_0']['conv2']
+    assert 'conv_offset' not in p['layer1_0']

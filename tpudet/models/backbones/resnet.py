@@ -59,6 +59,7 @@ class Bottleneck(nn.Module):
     expansion: int = 4
     groups: int = 1  # >1 + base_width -> ResNeXt (reference resnext.py)
     base_width: int = 64
+    with_dcn: bool = False  # DCNv2 on conv2 (reference configs/dcn)
     dtype: Any = None
 
     @nn.compact
@@ -73,12 +74,19 @@ class Bottleneck(nn.Module):
         out = bn(train, self.dtype, 'bn1')(out)
         out = nn.relu(out)
         pad = 1
-        out = nn.Conv(width, (3, 3), (self.stride, self.stride),
-                      padding=[(pad, pad), (pad, pad)],
-                      feature_group_count=self.groups, use_bias=False,
-                      dtype=self.dtype,
-                      kernel_init=nn.initializers.he_normal(),
-                      name='conv2')(out)
+        if self.with_dcn:
+            assert self.groups == 1, 'DCN + grouped conv not supported'
+            from ...ops.deform_conv import ModulatedDeformConv2d
+            out = ModulatedDeformConv2d(
+                width, kernel_size=3, stride=self.stride, use_bias=False,
+                dtype=self.dtype, name='conv2')(out)
+        else:
+            out = nn.Conv(width, (3, 3), (self.stride, self.stride),
+                          padding=[(pad, pad), (pad, pad)],
+                          feature_group_count=self.groups, use_bias=False,
+                          dtype=self.dtype,
+                          kernel_init=nn.initializers.he_normal(),
+                          name='conv2')(out)
         out = bn(train, self.dtype, 'bn2')(out)
         out = nn.relu(out)
         out = conv(self.planes * self.expansion, 1, 1, self.dtype,
@@ -98,6 +106,8 @@ class ResNet(nn.Module):
     base_channels: int = 64
     groups: int = 1
     base_width: int = 64
+    # DCNv2 per stage (reference configs/dcn stage_with_dcn)
+    stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
     dtype: Any = None
 
     arch_settings = {
@@ -137,7 +147,8 @@ class ResNet(nn.Module):
                              or x.shape[-1] != planes * expansion))
                 kw = dict(dtype=self.dtype)
                 if block_cls is Bottleneck:
-                    kw.update(groups=self.groups, base_width=self.base_width)
+                    kw.update(groups=self.groups, base_width=self.base_width,
+                              with_dcn=self.stage_with_dcn[i])
                 x = block_cls(planes, stride, needs_ds,
                               name=f'layer{i + 1}_{j}', **kw)(x, train)
             if i in self.out_indices:

@@ -58,6 +58,7 @@ class RetinaHead(nn.Module):
     focal_alpha: float = 0.25
     loss_cls_weight: float = 1.0
     loss_bbox_weight: float = 1.0
+    use_ghm: bool = False  # GHM-C cls loss (configs/ghm/retinanet_ghm_*)
     dtype: Any = None
 
     @property
@@ -140,10 +141,16 @@ class RetinaHead(nn.Module):
         onehot = jax.nn.one_hot(matched_labels, self.num_classes,
                                 dtype=jnp.float32) * pos[..., None]
         label_weights = (pos | neg).astype(jnp.float32)[..., None]
-        loss_cls = L.sigmoid_focal_loss(
-            cls_flat, onehot, gamma=self.focal_gamma, alpha=self.focal_alpha,
-            weight=label_weights, avg_factor=num_pos,
-            loss_weight=self.loss_cls_weight)
+        if self.use_ghm:
+            loss_cls = L.ghm_c_loss(
+                cls_flat, onehot,
+                label_weight=jnp.broadcast_to(label_weights, cls_flat.shape),
+                loss_weight=self.loss_cls_weight)
+        else:
+            loss_cls = L.sigmoid_focal_loss(
+                cls_flat, onehot, gamma=self.focal_gamma,
+                alpha=self.focal_alpha, weight=label_weights,
+                avg_factor=num_pos, loss_weight=self.loss_cls_weight)
 
         matched_boxes = jnp.take_along_axis(
             gt_bboxes, gt_idx[..., None], axis=1)
