@@ -90,3 +90,19 @@ def test_multiclass_nms_empty():
     res = multiclass_nms(boxes, scores, 0.1, 0.5, 5)
     assert not np.asarray(res.valid).any()
     assert (np.asarray(res.labels) == -1).all()
+
+
+def test_topk_scores_exact_on_small_inputs():
+    """topk_scores must be bit-exact below the approx threshold (covers
+    every test-sized input; the approx path only engages above 32k)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tpudet.core.nms import APPROX_TOPK_MIN_SIZE, topk_scores
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(4096).astype(np.float32))
+    v, i = topk_scores(x, 100)
+    ve, ie = jax.lax.top_k(x, 100)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(ve))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ie))
+    assert APPROX_TOPK_MIN_SIZE > 4096

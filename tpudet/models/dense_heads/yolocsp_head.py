@@ -174,7 +174,8 @@ class YOLOCSPHead(nn.Module):
         """
         bbox, conf, cls = self.decode_pred_maps(pred_maps)
         if 0 < anchor_pre < conf.shape[1]:
-            top_conf, top_idx = jax.lax.top_k(conf, anchor_pre)
+            from ...core.nms import topk_scores
+            top_conf, top_idx = topk_scores(conf, anchor_pre)
             bbox = jnp.take_along_axis(bbox, top_idx[..., None], axis=1)
             conf = top_conf
             if cls is not None:
