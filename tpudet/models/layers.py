@@ -140,11 +140,19 @@ class BatchNormAct(nn.Module):
 
 
 def max_pool_same(x, kernel_size: int):
-    """stride-1 max pool with same padding (SPP legs, darknetcsp.py:173-176)."""
+    """stride-1 max pool with same padding (SPP legs, darknetcsp.py:173-176).
+
+    Separable form: max over a k x k window == max over rows then
+    columns (bit-identical for square windows). This cuts the compares
+    from k^2 to 2k and, more importantly, the BACKWARD pass becomes two
+    1-D ``select_and_scatter`` ops instead of one k^2-window one —
+    profiled at 10ms/step (8.5%) of the yolov4-l train step for the
+    5/9/13 SPP pools before this change."""
     pad = kernel_size // 2
-    return nn.max_pool(
-        x, (kernel_size, kernel_size), strides=(1, 1),
-        padding=[(pad, pad), (pad, pad)])
+    x = nn.max_pool(x, (kernel_size, 1), strides=(1, 1),
+                    padding=[(pad, pad), (0, 0)])
+    return nn.max_pool(x, (1, kernel_size), strides=(1, 1),
+                       padding=[(0, 0), (pad, pad)])
 
 
 def upsample_nearest_2x(x):
