@@ -476,10 +476,14 @@ class Corrupt:
     def __call__(self, results):
         if self.severity == 0:
             return results
+        import zlib
+
         from .corruptions import corrupt
         img = results['img']
         rgb = np.ascontiguousarray(img[..., ::-1])
-        out = corrupt(rgb, self.corruption, self.severity,
-                      seed=hash(results.get('ori_filename', '')) & 0xffff)
+        # stable per-image seed (Python hash() is randomized per process)
+        name = results.get('ori_filename', '') or ''
+        seed = zlib.crc32(name.encode()) & 0xffff
+        out = corrupt(rgb, self.corruption, self.severity, seed=seed)
         results['img'] = np.ascontiguousarray(out[..., ::-1])
         return results

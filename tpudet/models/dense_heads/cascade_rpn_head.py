@@ -155,9 +155,10 @@ class CascadeRPNHead(nn.Module):
         b = feats[0].shape[0]
         x, _, reg0 = self.stage0(feats)
         # refined anchors per level -> analytic offsets for stage 1
+        grids = self._grid(featmap_sizes)
         offsets = []
         for lvl, size in enumerate(featmap_sizes):
-            anchors = jnp.asarray(self._grid(featmap_sizes)[lvl])
+            anchors = jnp.asarray(grids[lvl])
             anchors = jnp.broadcast_to(anchors[None],
                                        (b,) + anchors.shape)
             refined = self._refine(
@@ -192,7 +193,7 @@ class CascadeRPNHead(nn.Module):
         r1 = (1 - self.center_ratio) / 2
         r2 = (1 - self.ignore_ratio) / 2
 
-        pos_gt_parts, ignore_parts = [], []
+        pos_gt_parts = []
         for lvl in range(num_lvls):
             h, w = featmap_sizes[lvl]
             stride = self.strides[lvl]
@@ -217,16 +218,15 @@ class CascadeRPNHead(nn.Module):
 
             own = gt_valid & (tgt_lvl == lvl)
             center = region(r1) & own[..., None, None]
-            adj = gt_valid & ((tgt_lvl == lvl - 1) | (tgt_lvl == lvl + 1))
-            ignore = (region(r2) & (own | adj)[..., None, None])
+            # (the reference RegionAssigner's r2 ignore regions only
+            # matter for a cls branch; stage 0 is reg-only, so they are
+            # not computed here)
             # per-cell matched gt: highest gt index whose center region
             # covers the cell (reference sequential overwrite order)
             gidx = jnp.arange(center.shape[1], dtype=jnp.int32)
             claim = jnp.max(jnp.where(center, gidx[None, :, None, None],
                                       -1), axis=1)  # (B, H, W)
             pos_gt_parts.append(claim.reshape(b, -1))
-            ignore_parts.append(
-                jnp.any(ignore, axis=1).reshape(b, -1))
         pos_gt = jnp.concatenate(pos_gt_parts, axis=1)  # (B, A)
         pos0 = pos_gt >= 0
         num_pos0 = jnp.maximum(jnp.sum(pos0.astype(jnp.float32)), 1.0)

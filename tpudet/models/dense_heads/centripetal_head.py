@@ -102,11 +102,15 @@ class CentripetalHead(CornerHead):
         by = jnp.clip(jnp.floor(ey), 0, h - 1)
 
         def put(ix, iy, vals):
-            m = jnp.zeros((h, w, 2), jnp.float32)
-            vals = jnp.where(valid[:, None], vals, 0.)
-            m = m.at[iy.astype(jnp.int32), ix.astype(jnp.int32)].set(vals)
-            mask = jnp.zeros((h, w), bool).at[
-                iy.astype(jnp.int32), ix.astype(jnp.int32)].max(valid)
+            # padded gts scatter OUT OF BOUNDS (dropped) instead of
+            # writing zeros at cell (0, 0), which would clobber a real
+            # gt whose corner clamps to the image edge
+            iyc = jnp.where(valid, iy, h).astype(jnp.int32)
+            ixc = jnp.where(valid, ix, w).astype(jnp.int32)
+            m = jnp.zeros((h, w, 2), jnp.float32).at[iyc, ixc].set(
+                vals, mode='drop')
+            mask = jnp.zeros((h, w), bool).at[iyc, ixc].max(
+                valid, mode='drop')
             return m, mask
 
         eps = 1e-4

@@ -210,15 +210,15 @@ class CornerHead(nn.Module):
         br_heat = heat(rx, by)
 
         def offsets(cx, cy, fx, fy):
-            off = jnp.zeros((h, w, 2), jnp.float32)
-            iy = cy.astype(jnp.int32)
-            ix = cx.astype(jnp.int32)
+            # padded gts scatter out of bounds (dropped) so they cannot
+            # clobber a real corner at cell (0, 0)
+            iy = jnp.where(valid, cy, h).astype(jnp.int32)
+            ix = jnp.where(valid, cx, w).astype(jnp.int32)
             vals = jnp.stack([fx - cx, fy - cy], -1)  # (G, 2)
-            vals = jnp.where(valid[:, None], vals, 0.)
-            # later gts overwrite earlier (reference loop order)
-            off = off.at[iy, ix].set(
-                jnp.where(valid[:, None], vals, off[iy, ix]))
-            mask = jnp.zeros((h, w), bool).at[iy, ix].max(valid)
+            off = jnp.zeros((h, w, 2), jnp.float32).at[iy, ix].set(
+                vals, mode='drop')
+            mask = jnp.zeros((h, w), bool).at[iy, ix].max(valid,
+                                                          mode='drop')
             return off, mask
 
         tl_off, tl_mask = offsets(lx, ty, sx, sy)

@@ -463,11 +463,26 @@ class GARPNHead(GARetinaHead):
                 self.min_pos_iou, True))(guided, gt_bboxes, gt_valid)
         pos = assigned >= 0
         neg = assigned == NEGATIVE
-        num = jnp.maximum(jnp.sum((pos | neg).astype(jnp.float32)), 1.0)
-        num_pos = jnp.maximum(jnp.sum(pos.astype(jnp.float32)), 1.0)
+        # static 1:1 sampling cap (reference GA-RPN RandomSampler num=256,
+        # pos_fraction=0.5) — without it ~87k cells dilute the positive
+        # objectness gradient ~1000x
+        priority = jnp.asarray(
+            np.random.RandomState(11).rand(pos.shape[1]).astype(np.float32))
+        half = 128
+        p_rank = jnp.argsort(jnp.argsort(
+            jnp.where(pos, priority[None], 2.0), axis=1), axis=1)
+        pos_k = pos & (p_rank < half)
+        n_pos = jnp.sum(pos_k, axis=1, keepdims=True)
+        n_rank = jnp.argsort(jnp.argsort(
+            jnp.where(neg, priority[None], 2.0), axis=1), axis=1)
+        neg_k = neg & (n_rank < 256 - n_pos)
+        sampled = pos_k | neg_k
+        num = jnp.maximum(jnp.sum(sampled.astype(jnp.float32)), 1.0)
+        num_pos = jnp.maximum(jnp.sum(pos_k.astype(jnp.float32)), 1.0)
+        pos = pos_k  # reg loss below follows the sampled positives
         tgt = pos.astype(jnp.float32)
         bce = L.binary_cross_entropy_with_logits(cls_flat, tgt)
-        loss_cls = jnp.sum(bce * (pos | neg)) / num
+        loss_cls = jnp.sum(bce * sampled) / num
         g2 = jnp.clip(assigned, 0, None)
         m2 = jnp.take_along_axis(gt_bboxes, g2[..., None], axis=1)
         m2 = jnp.where(pos[..., None], m2, guided)

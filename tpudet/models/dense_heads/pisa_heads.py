@@ -116,10 +116,12 @@ class PISARetinaHead(RetinaHead):
             jnp.broadcast_to(anchors[None], matched.shape),
             jax.lax.stop_gradient(reg_flat))
         ious = bbox_overlaps_aligned(decoded, matched)  # (B, A)
-        # cap the pairwise-rank set: top-256 positives of the batch
+        # cap the pairwise-rank set at the highest-IoU positives
         pos_flat = pos.reshape(-1)
+        iou_flat = ious.reshape(-1)
         kcap = min(256, pos_flat.shape[0])
-        order = jnp.argsort(~pos_flat, stable=True)[:kcap]
+        order = jnp.argsort(jnp.where(pos_flat, -iou_flat, 2.0),
+                            stable=True)[:kcap]
         imp_k = isr_p_weights(
             ious.reshape(-1)[order], labels.reshape(-1)[order],
             gt_uid.reshape(-1)[order], pos_flat[order], self.isr_k,
@@ -221,9 +223,12 @@ class PISASSDHead(SSDHead):
             jnp.broadcast_to(anchors[None], matched.shape),
             jax.lax.stop_gradient(reg_flat))
         ious = bbox_overlaps_aligned(decoded, matched)
+        # cap the pairwise-rank set at the highest-IoU positives
         pos_flat = pos.reshape(-1)
+        iou_flat = ious.reshape(-1)
         kcap = min(256, pos_flat.shape[0])
-        order = jnp.argsort(~pos_flat, stable=True)[:kcap]
+        order = jnp.argsort(jnp.where(pos_flat, -iou_flat, 2.0),
+                            stable=True)[:kcap]
         imp_k = isr_p_weights(
             ious.reshape(-1)[order], labels.reshape(-1)[order],
             gt_uid.reshape(-1)[order], pos_flat[order], self.isr_k,

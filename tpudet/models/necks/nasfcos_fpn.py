@@ -28,12 +28,13 @@ def _resize_to(x, hw):
     th, tw = hw
     if (h, w) == (th, tw):
         return x
-    if th > h:  # nearest upsample (power-of-2 factors in this topology)
-        while x.shape[1] < th:
+    if th > h:  # nearest upsample, then crop for non-divisible sizes
+        while x.shape[1] < th or x.shape[2] < tw:
             x = upsample_nearest_2x(x)
-        return x
-    f = h // th
-    return nn.max_pool(x, (f, f), strides=(f, f))
+        return x[:, :th, :tw]
+    f = max(h // th, 1)
+    x = nn.max_pool(x, (f, f), strides=(f, f))
+    return x[:, :th, :tw]
 
 
 class ConcatCell(nn.Module):

@@ -114,10 +114,9 @@ class HTCRoIHead(CascadeRoIHead):
     def mask_stage(self, stage, feats, rois, roi_valid, sem_embedding,
                    prev_mask_feat, train: bool = False):
         """Returns (mask_logits (B,P,28,28,C), this stage's 14x14 feats)."""
-        pooled = self.extract(feats, rois, roi_valid)  # (B,P,7,7,C)
+        pooled = self.extract(feats, rois, roi_valid, out_size=14)
         b, p = pooled.shape[:2]
         x = pooled.reshape((b * p,) + pooled.shape[2:])
-        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # 14x14
         if sem_embedding is not None:
             sem = self.semantic_roi_feats(sem_embedding, rois, roi_valid, 14)
             x = x + sem.reshape((b * p,) + sem.shape[2:])

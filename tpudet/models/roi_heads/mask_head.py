@@ -61,12 +61,11 @@ class MaskRoIHead(StandardRoIHead):
                                      dtype=self.dtype)
 
     def mask_forward(self, feats, rois, roi_valid, train: bool = False):
-        pooled = self.extract(feats, rois, roi_valid)  # (B, P, 7, 7, C)
-        # mask branch uses 14x14 pooling in the reference; upsample the
-        # shared 7x7 features (keeps one RoIAlign pass; 2x nearest)
+        # mask branch pools its own 14x14 features (reference
+        # mask_roi_extractor output_size=14)
+        pooled = self.extract(feats, rois, roi_valid, out_size=14)
         b, p = pooled.shape[:2]
         x = pooled.reshape((b * p,) + pooled.shape[2:])
-        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # 14x14
         logits = self.mask_head(x, train)
         return logits.reshape((b, p) + logits.shape[1:])
 

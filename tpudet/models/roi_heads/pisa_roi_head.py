@@ -67,9 +67,12 @@ class PISARoIHead(StandardRoIHead):
         iou_f = ious.reshape(-1)
         img_id = jnp.repeat(jnp.arange(b, dtype=jnp.int32), s_)
         gt_f = gt_boxes.reshape(-1, 4)
-        # cap the O(K^2) rank set at the highest-IoU positives
+        # cap the O(K^2) rank set at the highest-IoU positives: sort by
+        # (positive first, then IoU descending) so overflow drops the
+        # lowest-IoU positives, not whole later images
         kcap = min(512, pos_f.shape[0])
-        order = jnp.argsort(~pos_f, stable=True)[:kcap]
+        sort_key = jnp.where(pos_f, -iou_f, 2.0)
+        order = jnp.argsort(sort_key, stable=True)[:kcap]
         o_pos, o_lab = pos_f[order], lab_f[order]
         o_iou, o_img, o_gt = iou_f[order], img_id[order], gt_f[order]
         pp = o_pos[:, None] & o_pos[None, :]

@@ -174,9 +174,9 @@ class SCNetRoIHead(CascadeRoIHead):
 
     def mask_forward(self, feats, rois, roi_valid, sem_embedding,
                      glbctx_feat, relayed, train: bool = False):
-        pooled = self.extract(feats, rois, roi_valid)  # (B,P,7,7,C)
+        pooled = self.extract(feats, rois, roi_valid, out_size=14)
         b, p = pooled.shape[:2]
-        x = jnp.repeat(jnp.repeat(pooled, 2, axis=2), 2, axis=3)  # 14x14
+        x = pooled
         if sem_embedding is not None:
             x = x + self.semantic_roi_feats(sem_embedding, rois, roi_valid,
                                             14)

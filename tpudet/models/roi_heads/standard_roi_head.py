@@ -52,13 +52,14 @@ class StandardRoIHead(nn.Module):
     def bbox_coder(self):
         return DeltaXYWHBBoxCoder(target_stds=self.target_stds)
 
-    def extract(self, feats, rois, roi_valid):
+    def extract(self, feats, rois, roi_valid, out_size=None):
         """Batched multilevel RoIAlign: feats (tuple of (B,H,W,C)),
-        rois (B, P, 4) -> (B, P, 7, 7, C)."""
+        rois (B, P, 4) -> (B, P, s, s, C), s = out_size or roi_size."""
+        size = out_size or self.roi_size
 
         def one(img_feats, r, v):
             return multilevel_roi_align(
-                img_feats, r, v, out_size=self.roi_size,
+                img_feats, r, v, out_size=size,
                 strides=self.featmap_strides)
 
         # vmap over the batch axis of every pyramid level simultaneously
