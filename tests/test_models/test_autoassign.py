@@ -57,3 +57,26 @@ def test_autoassign_empty_gt():
     assert np.isfinite(float(losses['loss_neg']))
     res = model.get_bboxes(preds)
     assert res.bboxes.shape == (1, 10, 4)
+
+
+def test_autoassign_total_loss_gradients_finite():
+    """Regression: the negative-loss min-max normalization used a NaN
+    masking trick whose VJP poisoned ~10M gradient elements (0 * NaN);
+    grads of the FULL loss must be finite."""
+    import jax
+    import jax.numpy as jnp
+    model = build_detector(aa_cfg())
+    img, gt_bboxes, gt_labels, gt_valid = demo_inputs(
+        batch=1, size=128, num_gts=(2,), num_classes=4)
+    variables = model.init(jax.random.PRNGKey(0), img)
+    rest = {k: v for k, v in variables.items() if k != 'params'}
+
+    def f(params):
+        preds, _ = model.apply({'params': params, **rest}, img, True,
+                               mutable=['batch_stats'])
+        losses = model.loss(preds, gt_bboxes, gt_labels, gt_valid)
+        return sum(v for k, v in losses.items() if 'loss' in k)
+
+    g = jax.grad(f)(variables['params'])
+    bad = sum(int(jnp.sum(~jnp.isfinite(x))) for x in jax.tree.leaves(g))
+    assert bad == 0

@@ -345,7 +345,12 @@ class BucketingBBoxCoder:
             y1 = jnp.clip(y1, 0, max_shape[0] - 1)
             y2 = jnp.clip(y2, 0, max_shape[0] - 1)
         boxes = jnp.stack([x1, y1, x2, y2], -1)
-        loc_conf = jnp.mean(top2[..., 0], axis=-1)  # mean top-bucket prob
+        # bucketing-guided rescoring (reference bucket2bbox): top-bucket
+        # prob, PLUS the runner-up's when the two top buckets are
+        # adjacent (boundary mass split between neighbors)
+        adjacent = jnp.abs(idx2[..., 0] - idx2[..., 1]) == 1
+        side_conf = top2[..., 0] + jnp.where(adjacent, top2[..., 1], 0.)
+        loc_conf = jnp.mean(side_conf, axis=-1)
         return boxes, loc_conf
 
 

@@ -169,8 +169,6 @@ class AutoAssignHead(nn.Module):
             ious = bbox_overlaps_aligned(
                 boxes_i[:, None].repeat(gts.shape[0], 1),
                 jnp.broadcast_to(gts[None], (points.shape[0],) + gts.shape))
-            iou_max = jnp.max(jnp.where(valid[None, :], ious, 0.), axis=1,
-                              keepdims=True)  # (P, 1) per-point max
 
             # positive loss per gt
             p_loc = jnp.exp(-reg_loss)
@@ -185,13 +183,23 @@ class AutoAssignHead(nn.Module):
             pos_l = -jnp.log(jnp.clip(rew, EPS, 1.0)) * valid
             pos_loss = jnp.sum(pos_l)
 
-            # negative weights: per gt, min-max normalized 1/(1-iou_max)
-            t = 1.0 / jnp.clip(1.0 - jnp.broadcast_to(iou_max, ious.shape),
+            # negative weights: per (point, gt), min-max normalized
+            # 1/(1-iou) — per-pair IoU like the reference (a point
+            # covering gt A must not discount its negatives for an
+            # overlapping gt B it does not cover), constant wrt params
+            # (the reference builds it under no_grad), and masked with
+            # +-inf rather than NaN (0 * NaN = NaN in the VJP poisoned
+            # every gradient)
+            t = 1.0 / jnp.clip(1.0 - jax.lax.stop_gradient(ious),
                                EPS, None)  # (P, G)
-            t = jnp.where(inside, t, jnp.nan)
-            tmin = jnp.nanmin(t, axis=0, keepdims=True)
-            tmax = jnp.nanmax(t, axis=0, keepdims=True)
-            tn = (t - tmin + EPS) / (tmax - tmin + EPS)
+            tmin = jnp.min(jnp.where(inside, t, jnp.inf), axis=0,
+                           keepdims=True)
+            tmax = jnp.max(jnp.where(inside, t, -jnp.inf), axis=0,
+                           keepdims=True)
+            has_inside = jnp.any(inside, axis=0, keepdims=True)
+            tn = jnp.where(
+                has_inside,
+                (t - tmin + EPS) / (tmax - tmin + EPS), 0.)
             tn = jnp.where(inside, tn, 0.)  # (P, G)
             onehot = jax.nn.one_hot(labels, C) * valid[:, None]  # (G, C)
             # per (point, class): strongest discount among that class's gts

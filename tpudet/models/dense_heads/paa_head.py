@@ -131,7 +131,7 @@ class PAAHead(ATSSHead):
                     sel = mine & (level_id == lvl)
                     masked = jnp.where(sel, loss_a, INF)
                     vals, idxs = jax.lax.top_k(-masked, K)
-                    outs.append((-vals, idxs, sel.shape))
+                    outs.append((-vals, idxs))
                 losses = jnp.concatenate([o[0] for o in outs])
                 idxs = jnp.concatenate([o[1] for o in outs])
                 valid = losses < INF / 2

@@ -82,7 +82,6 @@ class PISARetinaHead(RetinaHead):
     carl_weight: float = 0.1
 
     def loss(self, preds, gt_bboxes, gt_labels, gt_valid) -> Dict:
-        import numpy as np
         cls_scores, bbox_preds = preds
         featmap_sizes = [tuple(c.shape[1:3]) for c in cls_scores]
         anchors = jnp.asarray(self._flat_anchors(featmap_sizes))

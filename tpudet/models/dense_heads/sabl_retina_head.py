@@ -147,6 +147,15 @@ class SABLRetinaHead(nn.Module):
             out = jnp.full(approx.shape[0], -2, jnp.int32)
             out = jnp.where(max_iou < self.neg_iou_thr, NEGATIVE, out)
             out = jnp.where(max_iou >= self.pos_iou_thr, arg, out)
+            # match_low_quality (reference ApproxMaxIoUAssigner default):
+            # every gt claims its best-IoU cell even below pos_iou_thr;
+            # later gts override on ties (reference loop order)
+            gt_max = jnp.max(ious, axis=0)  # (G,)
+            is_best = (ious == gt_max[None, :]) & valid[None, :] & \
+                (gt_max[None, :] > 0)
+            g_ids = jnp.arange(gts.shape[0], dtype=jnp.int32)
+            claim = jnp.max(jnp.where(is_best, g_ids[None, :], -1), axis=1)
+            out = jnp.where(claim >= 0, claim, out)
             return jnp.where(jnp.any(valid), out, NEGATIVE)
 
         assigned = jax.vmap(assign_one)(gt_bboxes, gt_valid)
@@ -174,7 +183,8 @@ class SABLRetinaHead(nn.Module):
             loss_weight=self.loss_bbox_cls_weight)
         loss_bucket_reg = L.smooth_l1_loss(
             breg_flat.reshape(offsets_t.shape), offsets_t, beta=1.0 / 9.0,
-            weight=off_w * pshape, avg_factor=num_pos * 2,  # topk=2 sides
+            # reference avg: num_total_samples * 4 sides * offset_topk(2)
+            weight=off_w * pshape, avg_factor=num_pos * 4 * 2,
             loss_weight=self.loss_bbox_reg_weight)
         return dict(loss_cls=loss_cls, loss_bbox_cls=loss_bucket_cls,
                     loss_bbox_reg=loss_bucket_reg,

@@ -324,7 +324,8 @@ class YOLACT(SingleStageDetector):
             jnp.sum(gt_valid.astype(jnp.float32), axis=1))
         return losses
 
-    def get_bboxes(self, outputs, **kwargs):
+    def _decode(self, outputs, **kwargs):
+        """Shared decode+fast-NMS (one pipeline for boxes and masks)."""
         preds, protos, segm = outputs
         cfg = dict(self.test_cfg or {})
         nms_cfg = cfg.pop('nms', None)
@@ -332,21 +333,30 @@ class YOLACT(SingleStageDetector):
             cfg['iou_thr'] = nms_cfg.get('iou_threshold', 0.5)
         cfg.pop('min_bbox_size', None)
         cfg.pop('mask_thr', None)
+        # detections are rescaled AFTER proto cropping: the prototype
+        # maps live in the network-input frame, so cropping must use
+        # input-frame boxes (post-rescale boxes misalign the masks)
+        scale_factors = cfg.pop('scale_factors', None)
+        scale_factors = kwargs.pop('scale_factors', scale_factors)
         cfg.update(kwargs)
         res, coeffs = self.bbox_head.get_bboxes(preds, **cfg)
-        return res
+        return res, coeffs, protos, scale_factors
+
+    @staticmethod
+    def _rescale(res, scale_factors):
+        if scale_factors is None:
+            return res
+        return res._replace(
+            bboxes=res.bboxes / scale_factors[:, None, :])
+
+    def get_bboxes(self, outputs, **kwargs):
+        res, _, _, scale_factors = self._decode(outputs, **kwargs)
+        return self._rescale(res, scale_factors)
 
     def predict_masks(self, outputs, mask_size: int = 28, **kwargs):
         """Masks for the final detections, RoI-cropped to each box."""
-        preds, protos, segm = outputs
-        cfg = dict(self.test_cfg or {})
-        nms_cfg = cfg.pop('nms', None)
-        if nms_cfg is not None:
-            cfg['iou_thr'] = nms_cfg.get('iou_threshold', 0.5)
-        cfg.pop('min_bbox_size', None)
-        cfg.pop('mask_thr', None)
-        cfg.update(kwargs)
-        res, coeffs = self.bbox_head.get_bboxes(preds, **cfg)
+        res, coeffs, protos, scale_factors = self._decode(outputs,
+                                                          **kwargs)
 
         def one(protos_i, coeff_i, boxes_i):
             maps = jnp.einsum('hwp,kp->khw', protos_i, coeff_i)
@@ -357,5 +367,6 @@ class YOLACT(SingleStageDetector):
             )(maps, boxes)
             return jax.nn.sigmoid(crops)
 
+        # crop with INPUT-frame boxes, rescale the returned boxes after
         masks = jax.vmap(one)(protos, coeffs, res.bboxes)
-        return res, masks
+        return self._rescale(res, scale_factors), masks
