@@ -38,7 +38,7 @@ train_pipeline = [
     dict(type='Resize', img_scale=(1333, 800), keep_ratio=True),
     dict(type='RandomFlip', flip_ratio=0.5),
     dict(type='Normalize', **img_norm_cfg),
-    dict(type='Pad', size_divisor=128),
+    dict(type='Pad', size_divisor=32),
 ]
 test_pipeline = [
     dict(type='LoadImageFromFile'),
@@ -49,7 +49,7 @@ test_pipeline = [
         transforms=[
             dict(type='Resize', keep_ratio=True),
             dict(type='RandomFlip'),
-            dict(type='Pad', size_divisor=128),
+            dict(type='Pad', size_divisor=32),
             dict(type='Normalize', **img_norm_cfg),
         ]),
 ]

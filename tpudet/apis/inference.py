@@ -106,14 +106,36 @@ def _prepare_image(detector: Detector, img: Union[str, np.ndarray]):
     return results
 
 
-def _pad_canvas(image: np.ndarray, pad_to: Optional[int]) -> np.ndarray:
+def _pad_canvas(image: np.ndarray, pad_to: Optional[int],
+                divisor: int = 32) -> np.ndarray:
     """Zero-pad to a square static shape: at least ``pad_to``, never
-    smaller than the image (rounded up to 32 so FPN strides divide)."""
+    smaller than the image, rounded up to the pipeline's pad divisor
+    (32 for FPN models; 128 for hourglass/CornerNet pipelines)."""
     h, w = image.shape[:2]
-    side = max(pad_to or 0, -(-max(h, w) // 32) * 32)
+    side = max(pad_to or 0, max(h, w))
+    side = -(-side // divisor) * divisor
     canvas = np.zeros((side, side, 3), np.float32)
     canvas[:h, :w] = image
     return canvas
+
+
+def _pipeline_pad_divisor(detector) -> int:
+    """The Pad size_divisor of the detector's test pipeline (if any),
+    descending into wrappers like MultiScaleFlipAug."""
+
+    def scan(transforms):
+        for t in transforms:
+            d = getattr(t, 'size_divisor', None)
+            if d:
+                return int(d)
+            inner = getattr(t, 'transforms', None)
+            if inner is not None:
+                d = scan(getattr(inner, 'transforms', inner))
+                if d:
+                    return d
+        return 0
+
+    return scan(getattr(detector.pipeline, 'transforms', [])) or 32
 
 
 def inference_detector(detector: Detector,
@@ -124,7 +146,8 @@ def inference_detector(detector: Detector,
     results = _prepare_image(detector, img)
     image = results['img'].astype(np.float32)
     if pad_to is not None:
-        image = _pad_canvas(image, pad_to)
+        image = _pad_canvas(image, pad_to,
+                            divisor=_pipeline_pad_divisor(detector))
     batch_img = image[None]
     scale_factor = np.asarray(results['scale_factor'],
                               np.float32).reshape(1, 4)

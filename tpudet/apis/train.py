@@ -141,13 +141,23 @@ def train_detector(cfg: Config,
     # steps the reference's warmup curve m(iter) = m*(1-exp(-iter/(w*intv)))
     # reduces to interval 1 (iter = step * accumulation).
     loss_fn = None
-    from ..models.detectors.two_stage import TwoStageDetector
-    if isinstance(model, TwoStageDetector):
+    if hasattr(model, 'forward_train'):
+        # any detector whose training runs inside the module (two-stage
+        # families, SparseRCNN, YOLACT, KD, ...): build the arg list from
+        # the forward_train signature by name
+        import inspect
+        ft_params = [n for n in inspect.signature(
+            model.forward_train).parameters]
+
         def loss_fn(params, batch_stats, batch):  # noqa: F811
-            args = [batch['img'], batch['gt_bboxes'], batch['gt_labels'],
-                    batch['gt_valid']]
-            if 'gt_frame_masks' in batch:  # MaskRCNN path
-                args.append(batch['gt_frame_masks'])
+            args = []
+            for name in ft_params:
+                if name == 'img':
+                    args.append(batch['img'])
+                elif name in batch:
+                    args.append(batch[name])
+                else:
+                    break  # optional tail args (e.g. gt_semantic_seg)
             losses, mutated = model.apply(
                 {'params': params, 'batch_stats': batch_stats},
                 *args, method='forward_train', mutable=['batch_stats'])

@@ -354,8 +354,13 @@ class CornerHead(nn.Module):
             boxes = boxes / scale_factors[:, None, :]
 
         # class-offset trick + soft-NMS then top max_per_img
-        # (reference _bboxes_nms with cfg nms=soft_nms)
-        cls_off = labels.astype(jnp.float32)[..., None] * (size + 1.0)
+        # (reference _bboxes_nms with cfg nms=soft_nms); the offset step
+        # must exceed the LARGEST post-rescale coordinate, not the
+        # static input size, or class bands overlap on upscaled outputs
+        pair_valid_all = top_scores > 0
+        max_coord = jnp.max(jnp.where(pair_valid_all[..., None], boxes,
+                                      0.)) + 1.0
+        cls_off = labels.astype(jnp.float32)[..., None] * max_coord
 
         def one(bx, sc, lb, of, vm):
             keep_idx, keep_scores, keep_valid = soft_nms_padded(

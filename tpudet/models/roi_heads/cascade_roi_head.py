@@ -103,8 +103,10 @@ class CascadeRCNN(TwoStageDetector):
                                             img.shape[1:3])
         avg_scores = cls_sum / self.roi_head.num_stages
         # final boxes from the LAST stage's regression; average scores
-        # (reference cascade test logic)
-        return rois, roi_valid, avg_scores, deltas
+        # (reference cascade test logic); image shape rides along so
+        # get_bboxes can clip the final decode like every other stage
+        img_hw = jnp.asarray(img.shape[1:3], jnp.float32)
+        return rois, roi_valid, avg_scores, deltas, img_hw
 
     def forward_train(self, img, gt_bboxes, gt_labels, gt_valid):
         feats = self.extract_feat(img, train=True)
@@ -148,14 +150,16 @@ class CascadeRCNN(TwoStageDetector):
         return losses
 
     def get_bboxes(self, outputs, scale_factors=None, **kwargs):
-        rois, roi_valid, avg_scores, last_deltas = outputs
+        rois, roi_valid, avg_scores, last_deltas, img_hw = outputs
         cfg = dict(self.test_cfg or {}).get('rcnn', {})
         nms_cfg = cfg.get('nms', {})
-        # decode the last stage on the (already twice-refined) rois
+        # decode the last stage on the (already twice-refined) rois,
+        # clipped to the image like every intermediate refine
         from ...core.nms import NEG_INF, NMSResult, nms_padded
         last_stage = self.roi_head.num_stages - 1
         boxes = self.roi_head.refine(last_stage, rois,
-                                     last_deltas.astype(jnp.float32))
+                                     last_deltas.astype(jnp.float32),
+                                     img_shape=img_hw)
         scores = avg_scores[..., :-1] * roi_valid[..., None]
         if scale_factors is not None:
             boxes = boxes / scale_factors[:, None, :]

@@ -69,11 +69,13 @@ class DynamicRoIHead(StandardRoIHead):
             cls_idx = jnp.clip(labels, 0, self.num_classes - 1)
             reg = jnp.take_along_axis(
                 reg, cls_idx[..., None, None].repeat(4, -1), axis=2)[:, :, 0]
-        err = jnp.mean(jnp.abs(reg - targets), axis=-1)  # (B, S)
+        # reference dynamic_roi_head: statistic = kthvalue(beta_topk * B)
+        # of the mean |xy error| (xy dims only) among positives
+        err = jnp.mean(jnp.abs(reg[..., :2] - targets[..., :2]), axis=-1)
         err = jnp.where(pos, err, jnp.inf)
-        k = min(self.beta_topk, err.shape[1])
-        small, _ = jax.lax.top_k(-err.reshape(-1), k * b)
-        beta = jnp.clip(jnp.median(-small), 1e-3, self.initial_beta)
+        k = min(self.beta_topk * b, err.shape[1] * b)
+        small, _ = jax.lax.top_k(-err.reshape(-1), k)
+        beta = jnp.clip(-small[-1], 1e-3, self.initial_beta)
         beta = jax.lax.stop_gradient(beta)
         num_total = jnp.maximum(jnp.sum(sampled.astype(jnp.float32)), 1.0)
         diff = jnp.abs(reg - targets)

@@ -111,6 +111,17 @@ class HTCRoIHead(CascadeRoIHead):
 
         return jax.vmap(one)(sem_embedding, rois, roi_valid)
 
+    def run_stage(self, stage, feats, rois, roi_valid, train: bool = False,
+                  sem_embedding=None):
+        """Cascade bbox stage + semantic fusion (reference
+        htc_roi_head._bbox_forward adds the semantic crop to the bbox
+        features as well as the mask features)."""
+        pooled = self.extract(feats, rois, roi_valid)
+        if sem_embedding is not None:
+            pooled = pooled + self.semantic_roi_feats(
+                sem_embedding, rois, roi_valid, self.roi_size)
+        return self.bbox_heads[stage](pooled, train)
+
     def mask_stage(self, stage, feats, rois, roi_valid, sem_embedding,
                    prev_mask_feat, train: bool = False):
         """Returns (mask_logits (B,P,28,28,C), this stage's 14x14 feats)."""
@@ -155,6 +166,35 @@ class HybridTaskCascade(CascadeRCNN):
     ``gt_semantic_seg`` (B, H/8, W/8) int labels for the semantic CE loss.
     """
 
+    def __call__(self, img, train: bool = False):
+        feats = self.extract_feat(img, train)
+        sem_embedding = None
+        if self.roi_head.semantic_fusion:
+            sem_embedding, _ = self.roi_head.semantic_head(feats, train)
+        rpn_preds = self.rpn_head(feats, train)
+        cfg = dict(self.test_cfg or {}).get('rpn', {})
+        rois, _, roi_valid = self.rpn_head.get_proposals(
+            rpn_preds, img_shape=img.shape[1:3],
+            nms_pre=cfg.get('nms_pre', 1000),
+            max_num=cfg.get('max_per_img', 1000),
+            iou_thr=cfg.get('nms', {}).get('iou_threshold', 0.7))
+        rois = jax.lax.stop_gradient(rois)
+
+        cls_sum = 0.
+        for stage in range(self.roi_head.num_stages):
+            cls_logits, deltas = self.roi_head.run_stage(
+                stage, feats, rois, roi_valid, train,
+                sem_embedding=sem_embedding)
+            cls_sum = cls_sum + jax.nn.softmax(
+                cls_logits.astype(jnp.float32), axis=-1)
+            if stage < self.roi_head.num_stages - 1:
+                rois = self.roi_head.refine(stage, rois,
+                                            deltas.astype(jnp.float32),
+                                            img.shape[1:3])
+        avg_scores = cls_sum / self.roi_head.num_stages
+        img_hw = jnp.asarray(img.shape[1:3], jnp.float32)
+        return rois, roi_valid, avg_scores, deltas, img_hw
+
     def forward_train(self, img, gt_bboxes, gt_labels, gt_valid,
                       gt_frame_masks, gt_semantic_seg=None):
         feats = self.extract_feat(img, train=True)
@@ -187,7 +227,8 @@ class HybridTaskCascade(CascadeRCNN):
         prev_mask_feat = None
         for stage in range(self.roi_head.num_stages):
             cls_logits, deltas = self.roi_head.run_stage(
-                stage, feats, rois, roi_valid, True)
+                stage, feats, rois, roi_valid, True,
+                sem_embedding=sem_embedding)
             if stage == 0:
                 sampled, st_labels, st_targets, st_pos = (
                     sampled0, labels, targets, pos)

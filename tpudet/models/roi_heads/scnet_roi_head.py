@@ -262,7 +262,8 @@ class SCNet(CascadeRCNN):
                                             deltas.astype(jnp.float32),
                                             img.shape[1:3])
         avg_scores = cls_sum / self.roi_head.num_stages
-        return rois, roi_valid, avg_scores, deltas
+        img_hw = jnp.asarray(img.shape[1:3], jnp.float32)
+        return rois, roi_valid, avg_scores, deltas, img_hw
 
     def forward_train(self, img, gt_bboxes, gt_labels, gt_valid,
                       gt_frame_masks, gt_semantic_seg=None):
