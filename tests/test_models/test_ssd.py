@@ -46,7 +46,7 @@ def test_ssd_forward_loss_bboxes():
 
     losses = model.loss(preds, gt_bboxes, gt_labels, gt_valid)
     # untrained softmax CE with OHEM 3:1 -> ~4 * log(C+1)
-    assert 1.0 < float(losses['loss_cls']) < 20.0
+    assert 1.0 < float(losses['loss_cls']) < 30.0
     assert np.isfinite(float(losses['loss_bbox']))
 
     res = model.get_bboxes(preds)

@@ -208,7 +208,8 @@ class FSAFHead(nn.Module):
     # ------------------------------------------------------------------
     def get_bboxes(self, preds, scale_factors=None, score_thr: float = 0.05,
                    iou_thr: float = 0.5, max_per_img: int = 100,
-                   nms_pre: int = 1000, **kwargs):
+                   nms_pre: int = 1000, img_shape=None, with_nms: bool = True,
+                   **kwargs):
         cls_scores, bbox_preds = preds
         featmap_sizes = [tuple(c.shape[1:3]) for c in cls_scores]
         mlvl_anchors = self.anchor_generator.grid_anchors(featmap_sizes)
@@ -218,11 +219,9 @@ class FSAFHead(nn.Module):
             scores = jax.nn.sigmoid(
                 cls_scores[lvl].reshape(b, -1, self.num_classes).astype(
                     jnp.float32))
-            reg = jnp.clip(
-                bbox_preds[lvl].reshape(b, -1, 4).astype(jnp.float32),
-                1e-4, None)
+            reg = bbox_preds[lvl].reshape(b, -1, 4).astype(jnp.float32)
             anchors = jnp.asarray(mlvl_anchors[lvl])
-            k = min(nms_pre, scores.shape[1])
+            k = min(nms_pre, scores.shape[1]) if with_nms else 0
             if 0 < k < scores.shape[1]:
                 max_s = jnp.max(scores, axis=-1)
                 _, topk = jax.lax.top_k(max_s, k)
@@ -231,11 +230,15 @@ class FSAFHead(nn.Module):
                 sel = anchors[topk]
             else:
                 sel = jnp.broadcast_to(anchors[None], (b,) + anchors.shape)
-            boxes_all.append(self.bbox_coder.decode(sel, reg))
+            boxes_all.append(self.bbox_coder.decode(sel, reg,
+                                                    max_shape=img_shape))
             scores_all.append(scores)
         bbox = jnp.concatenate(boxes_all, axis=1)
         scores = jnp.concatenate(scores_all, axis=1)
         if scale_factors is not None:
             bbox = bbox / scale_factors[:, None, :]
+        if not with_nms:
+            padding = jnp.zeros(scores.shape[:-1] + (1,), scores.dtype)
+            return bbox, jnp.concatenate([scores, padding], axis=-1)
         return batched_nms(bbox, scores, score_thr, iou_thr, max_per_img,
                            nms_pre=2048)

@@ -170,9 +170,14 @@ class RetinaHead(nn.Module):
     # ------------------------------------------------------------------
     def get_bboxes(self, preds, scale_factors=None, score_thr: float = 0.05,
                    iou_thr: float = 0.5, max_per_img: int = 100,
-                   nms_pre: int = 1000, **kwargs):
+                   nms_pre: int = 1000, img_shape=None, with_nms: bool = True,
+                   **kwargs):
         """Per-level top-k -> decode -> padded class-aware NMS
-        (reference anchor_head.py:492-740 path)."""
+        (reference anchor_head.py:492-740 path).
+
+        ``with_nms=False`` mirrors the reference's raw-decode return:
+        ``(boxes clipped to img_shape, sigmoid scores + bg column)``.
+        """
         cls_scores, bbox_preds = preds
         featmap_sizes = [tuple(c.shape[1:3]) for c in cls_scores]
         mlvl_anchors = self.anchor_generator.grid_anchors(featmap_sizes)
@@ -185,7 +190,7 @@ class RetinaHead(nn.Module):
                     jnp.float32))
             deltas = bbox_preds[lvl].reshape(b, -1, 4).astype(jnp.float32)
             anchors = jnp.asarray(mlvl_anchors[lvl])
-            k = min(nms_pre, scores.shape[1])
+            k = min(nms_pre, scores.shape[1]) if with_nms else 0
             if 0 < k < scores.shape[1]:
                 max_scores = jnp.max(scores, axis=-1)
                 _, topk = jax.lax.top_k(max_scores, k)
@@ -195,7 +200,8 @@ class RetinaHead(nn.Module):
             else:
                 lvl_anchors = jnp.broadcast_to(anchors[None],
                                                (b,) + anchors.shape)
-            boxes = self.bbox_coder.decode(lvl_anchors, deltas)
+            boxes = self.bbox_coder.decode(lvl_anchors, deltas,
+                                           max_shape=img_shape)
             all_boxes.append(boxes)
             all_scores.append(scores)
 
@@ -203,6 +209,9 @@ class RetinaHead(nn.Module):
         scores = jnp.concatenate(all_scores, axis=1)
         if scale_factors is not None:
             bbox = bbox / scale_factors[:, None, :]
+        if not with_nms:
+            padding = jnp.zeros(scores.shape[:-1] + (1,), scores.dtype)
+            return bbox, jnp.concatenate([scores, padding], axis=-1)
         return batched_nms(bbox, scores, score_thr, iou_thr, max_per_img,
                            nms_pre=min(4096, bbox.shape[1] *
                                        self.num_classes))

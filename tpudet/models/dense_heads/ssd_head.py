@@ -31,6 +31,9 @@ class SSDHead(nn.Module):
     ratios: Tuple = ((2,), (2, 3), (2, 3), (2, 3), (2,), (2,))
     basesize_ratio_range: Tuple[float, float] = (0.15, 0.9)
     input_size: int = 300
+    # SSD convention (reference configs/_base_/models/ssd300.py): ratio
+    # varies fastest within each scale
+    scale_major: bool = False
     target_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
     pos_iou_thr: float = 0.5
     neg_iou_thr: float = 0.5
@@ -43,7 +46,7 @@ class SSDHead(nn.Module):
         return SSDAnchorGenerator(
             strides=list(self.strides), ratios=[list(r) for r in self.ratios],
             basesize_ratio_range=tuple(self.basesize_ratio_range),
-            input_size=self.input_size)
+            input_size=self.input_size, scale_major=self.scale_major)
 
     @property
     def bbox_coder(self):
@@ -126,7 +129,8 @@ class SSDHead(nn.Module):
     # ------------------------------------------------------------------
     def get_bboxes(self, preds, scale_factors=None, score_thr: float = 0.02,
                    iou_thr: float = 0.45, max_per_img: int = 200,
-                   nms_pre: int = 1000, **kwargs):
+                   nms_pre: int = 1000, img_shape=None, with_nms: bool = True,
+                   **kwargs):
         cls_scores, bbox_preds = preds
         featmap_sizes = [tuple(c.shape[1:3]) for c in cls_scores]
         anchors = jnp.asarray(np.concatenate(
@@ -138,10 +142,15 @@ class SSDHead(nn.Module):
         reg_flat = jnp.concatenate([
             r.reshape(b, -1, 4).astype(jnp.float32) for r in bbox_preds],
             axis=1)
-        scores = jax.nn.softmax(cls_flat, axis=-1)[..., :-1]  # drop bg
-        boxes = self.bbox_coder.decode(anchors[None], reg_flat)
+        softmax_scores = jax.nn.softmax(cls_flat, axis=-1)
+        boxes = self.bbox_coder.decode(anchors[None], reg_flat,
+                                       max_shape=img_shape)
         if scale_factors is not None:
             boxes = boxes / scale_factors[:, None, :]
+        if not with_nms:
+            # raw reference return keeps the bg column (anchor_head.py:705)
+            return boxes, softmax_scores
+        scores = softmax_scores[..., :-1]  # drop bg
         return batched_nms(boxes, scores, score_thr, iou_thr, max_per_img,
                            nms_pre=min(2048, scores.shape[1]))
 

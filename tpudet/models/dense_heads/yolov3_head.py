@@ -167,7 +167,8 @@ class YOLOV3Head(nn.Module):
     def get_bboxes(self, pred_maps, scale_factors=None,
                    score_thr: float = 0.05, conf_thr: float = 0.005,
                    iou_thr: float = 0.45, max_per_img: int = 100,
-                   nms_pre: int = 1000, **kwargs):
+                   nms_pre: int = 1000, img_shape=None,
+                   with_nms: bool = True, **kwargs):
         """Decode + NMS (reference yolo_head.py get_bboxes: sigmoid xy/conf/
         cls, per-level topk by conf, score = cls * conf with a conf
         threshold zeroing low-confidence candidates)."""
@@ -175,7 +176,7 @@ class YOLOV3Head(nn.Module):
         featmap_sizes = [tuple(p.shape[1:3]) for p in pred_maps]
         mlvl_anchors = gen.grid_anchors(featmap_sizes)
 
-        boxes_all, scores_all = [], []
+        boxes_all, scores_all, conf_all = [], [], []
         for lvl, pred in enumerate(pred_maps):
             b = pred.shape[0]
             p = pred.reshape(b, -1, self.num_attrib).astype(jnp.float32)
@@ -187,6 +188,14 @@ class YOLOV3Head(nn.Module):
             decoded = YOLOBBoxCoder.decode(
                 anchors[None], jnp.concatenate([xy, wh], axis=-1),
                 float(self.featmap_strides[lvl]))
+            if not with_nms:
+                # raw reference return: no conf masking, no topk, cls
+                # sigmoid scores + bg column + conf (yolo_head.py
+                # _get_bboxes else-branch 3-tuple)
+                boxes_all.append(decoded)
+                scores_all.append(cls)
+                conf_all.append(conf)
+                continue
             conf = jnp.where(conf >= conf_thr, conf, 0.)
             k = min(nms_pre, decoded.shape[1])
             if 0 < k < decoded.shape[1]:
@@ -202,5 +211,9 @@ class YOLOV3Head(nn.Module):
         scores = jnp.concatenate(scores_all, axis=1)
         if scale_factors is not None:
             bbox = bbox / scale_factors[:, None, :]
+        if not with_nms:
+            padding = jnp.zeros(scores.shape[:-1] + (1,), scores.dtype)
+            return (bbox, jnp.concatenate([scores, padding], axis=-1),
+                    jnp.concatenate(conf_all, axis=1))
         return batched_nms(bbox, scores, score_thr, iou_thr, max_per_img,
                            nms_pre=4096)

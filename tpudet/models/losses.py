@@ -225,12 +225,16 @@ def ghm_c_loss(pred, target, label_weight=None, bins=10, momentum=0.0,
     tot = jnp.maximum(jnp.sum(valid), 1.0)
     edges = jnp.linspace(0, 1, bins + 1)
     weights = jnp.zeros_like(pred)
+    nonempty = jnp.zeros((), jnp.float32)
     for i in range(bins):
         in_bin = (g >= edges[i]) & (g < edges[i + 1] + (1e-6 if i == bins - 1
                                                         else 0)) & valid
         num_in_bin = jnp.sum(in_bin)
+        nonempty += (num_in_bin > 0).astype(jnp.float32)
         weights = jnp.where(in_bin & (num_in_bin > 0),
                             tot / jnp.maximum(num_in_bin, 1.0), weights)
+    # normalize by the number of non-empty bins (ghm_loss.py:96-97)
+    weights = weights / jnp.maximum(nonempty, 1.0)
     loss = binary_cross_entropy_with_logits(pred, target) * weights
     return loss_weight * jnp.sum(loss) / tot
 

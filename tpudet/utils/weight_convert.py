@@ -1,0 +1,207 @@
+"""Execution-order weight conversion between a PyTorch reference model
+and a tpudet flax model.
+
+Both frameworks apply their primitive layers (conv / batchnorm / linear)
+in identical data-flow order when the architectures match, so instead of
+maintaining brittle name maps we:
+
+1. record the flax module paths of every Conv/BatchNorm/Dense call, in
+   execution order, by initializing under ``nn.intercept_methods``;
+2. record the torch leaf modules (nn.Conv2d/BatchNorm2d/Linear) in
+   execution order with forward pre-hooks (done on the torch side, see
+   ``tools/model_converters/ref2tpudet.py`` / tests/ref_oracle);
+3. zip the two sequences with strict shape checking, transposing conv
+   kernels OIHW -> HWIO.
+
+A shape mismatch at any position means the data flow differs — the
+converter fails loudly rather than silently mis-assigning weights.
+
+Used by the golden-parity tests (tests/ref_oracle/test_fork_model_parity)
+and by the checkpoint converter CLI for users migrating reference
+checkpoints (reference analogue: tools/model_converters/).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import flax.linen as nn
+import jax
+import numpy as np
+
+
+def flax_layer_order(module: nn.Module, *init_args,
+                     method=None, **init_kwargs) -> List[Tuple[str, str]]:
+    """Paths of Conv/BatchNorm/Dense sub-modules in execution order.
+
+    Returns list of ('/'.join(path), kind) with kind in
+    {'conv', 'bn', 'dense'}; duplicates (shared/reused modules) keep the
+    first occurrence.
+    """
+    order: List[Tuple[str, str]] = []
+    seen = set()
+
+    def interceptor(next_fun, args, kwargs, context):
+        mod = context.module
+        if context.method_name == '__call__':
+            kind = None
+            if isinstance(mod, nn.Conv):
+                kind = 'conv'
+            elif isinstance(mod, nn.BatchNorm):
+                kind = 'bn'
+            elif isinstance(mod, nn.Dense):
+                kind = 'dense'
+            if kind is not None:
+                path = '/'.join(mod.scope.path)
+                if path not in seen:
+                    seen.add(path)
+                    order.append((path, kind))
+        return next_fun(*args, **kwargs)
+
+    with nn.intercept_methods(interceptor):
+        if method is None:
+            module.init(jax.random.PRNGKey(0), *init_args, **init_kwargs)
+        else:
+            module.init(jax.random.PRNGKey(0), *init_args, method=method,
+                        **init_kwargs)
+    return order
+
+
+def _get_subtree(tree: Dict, path: str) -> Dict:
+    node = tree
+    for part in path.split('/'):
+        node = node[part]
+    return node
+
+
+def _set_subtree(tree: Dict, path: str, value: Dict) -> None:
+    parts = path.split('/')
+    node = tree
+    for part in parts[:-1]:
+        node = node[part]
+    node[parts[-1]] = value
+
+
+def assign_torch_sequence(variables: Dict[str, Any],
+                          flax_order: List[Tuple[str, str]],
+                          torch_layers: List[Dict[str, np.ndarray]],
+                          strict: bool = True) -> Dict[str, Any]:
+    """Assign torch layer tensors (numpy, execution order) into a flax
+    variables dict ({'params': ..., 'batch_stats': ...}).
+
+    ``torch_layers`` entries are dicts with keys:
+      conv:  kind='conv', weight (O,I,H,W), optional bias (O,)
+      bn:    kind='bn', weight, bias, running_mean, running_var
+      dense: kind='dense', weight (O,I), optional bias
+    """
+    import flax
+    variables = flax.core.unfreeze(variables)
+    params = variables['params']
+    batch_stats = variables.get('batch_stats', {})
+
+    if len(flax_order) != len(torch_layers):
+        raise ValueError(
+            f'layer count mismatch: flax has {len(flax_order)} '
+            f'conv/bn/dense calls, torch has {len(torch_layers)}')
+
+    for (path, kind), t in zip(flax_order, torch_layers):
+        if t['kind'] != kind:
+            raise ValueError(f'kind mismatch at {path}: flax {kind} vs '
+                             f'torch {t["kind"]} ({t.get("name")})')
+        if kind == 'conv':
+            node = _get_subtree(params, path)
+            w = np.transpose(t['weight'], (2, 3, 1, 0))  # OIHW -> HWIO
+            groups = 1
+            if node['kernel'].shape != w.shape:
+                # grouped conv: flax stores (H, W, in/groups, out) too —
+                # same layout; only a true mismatch fails
+                raise ValueError(
+                    f'conv shape mismatch at {path} '
+                    f'({t.get("name")}): flax {node["kernel"].shape} '
+                    f'torch {w.shape} groups={groups}')
+            node['kernel'] = w.astype(node['kernel'].dtype)
+            if 'bias' in t and t['bias'] is not None:
+                if 'bias' not in node:
+                    raise ValueError(f'torch conv has bias but flax conv at '
+                                     f'{path} does not')
+                node['bias'] = t['bias'].astype(node['bias'].dtype)
+            elif 'bias' in node:
+                raise ValueError(f'flax conv at {path} has bias but torch '
+                                 'conv does not')
+        elif kind == 'dense':
+            node = _get_subtree(params, path)
+            w = np.transpose(t['weight'], (1, 0))
+            if node['kernel'].shape != w.shape:
+                raise ValueError(f'dense shape mismatch at {path}: '
+                                 f'{node["kernel"].shape} vs {w.shape}')
+            node['kernel'] = w.astype(node['kernel'].dtype)
+            if 'bias' in t and t['bias'] is not None and 'bias' in node:
+                node['bias'] = t['bias'].astype(node['bias'].dtype)
+        else:  # bn
+            pnode = _get_subtree(params, path)
+            snode = _get_subtree(batch_stats, path)
+            if pnode['scale'].shape != t['weight'].shape:
+                raise ValueError(f'bn shape mismatch at {path}: '
+                                 f'{pnode["scale"].shape} vs '
+                                 f'{t["weight"].shape}')
+            pnode['scale'] = t['weight'].astype(pnode['scale'].dtype)
+            pnode['bias'] = t['bias'].astype(pnode['bias'].dtype)
+            snode['mean'] = t['running_mean'].astype(snode['mean'].dtype)
+            snode['var'] = t['running_var'].astype(snode['var'].dtype)
+
+    variables['params'] = params
+    if batch_stats:
+        variables['batch_stats'] = batch_stats
+    return flax.core.freeze(variables) if isinstance(
+        variables, flax.core.FrozenDict) else variables
+
+
+def torch_module_sequence(torch_model, forward_fn) -> List[Dict]:
+    """Run ``forward_fn(torch_model)`` with pre-hooks recording leaf
+    conv/bn/linear modules in execution order (dedup by id).
+
+    torch is imported lazily — only parity tests / converter CLIs that
+    have a torch checkpoint need it.
+    """
+    import torch
+    import torch.nn as tnn
+
+    order: List[Dict] = []
+    seen = set()
+    hooks = []
+
+    def make_hook(name, mod):
+        def hook(module, inputs):
+            if id(module) in seen:
+                return
+            seen.add(id(module))
+            if isinstance(module, tnn.Conv2d):
+                order.append(dict(
+                    kind='conv', name=name,
+                    weight=module.weight.detach().numpy(),
+                    bias=None if module.bias is None else
+                    module.bias.detach().numpy()))
+            elif isinstance(module, tnn.BatchNorm2d):
+                order.append(dict(
+                    kind='bn', name=name,
+                    weight=module.weight.detach().numpy(),
+                    bias=module.bias.detach().numpy(),
+                    running_mean=module.running_mean.detach().numpy(),
+                    running_var=module.running_var.detach().numpy()))
+            elif isinstance(module, tnn.Linear):
+                order.append(dict(
+                    kind='dense', name=name,
+                    weight=module.weight.detach().numpy(),
+                    bias=None if module.bias is None else
+                    module.bias.detach().numpy()))
+        return hook
+
+    for name, mod in torch_model.named_modules():
+        if isinstance(mod, (tnn.Conv2d, tnn.BatchNorm2d, tnn.Linear)):
+            hooks.append(mod.register_forward_pre_hook(make_hook(name, mod)))
+    try:
+        with torch.no_grad():
+            forward_fn(torch_model)
+    finally:
+        for h in hooks:
+            h.remove()
+    return order
