@@ -12,6 +12,10 @@ def main():
     p.add_argument('config', help='config file')
     p.add_argument('checkpoint', nargs='?', default=None)
     p.add_argument('--score-thr', type=float, default=0.3)
+    p.add_argument('--with-masks', action='store_true',
+                   help='predict + draw instance masks (mask-capable '
+                        'models: Mask R-CNN family, SCNet, PointRend, '
+                        'YOLACT)')
     p.add_argument('--out-file', default=None,
                    help='save visualization to file')
     args = p.parse_args()
@@ -20,9 +24,10 @@ def main():
     from tpudet.visualization import imshow_det_bboxes
 
     det = init_detector(args.config, args.checkpoint)
-    result = inference_detector(det, args.img)
+    result = inference_detector(det, args.img, with_masks=args.with_masks)
+    bbox_result = result[0] if args.with_masks else result
     kept = 0
-    for cls, arr in enumerate(result):
+    for cls, arr in enumerate(bbox_result):
         for box in arr:
             if box[4] >= args.score_thr:
                 print(f'{det.CLASSES[cls]}: score={box[4]:.3f} '

@@ -14,6 +14,12 @@ def parse_args():
                    help='msgpack weights (EMA) saved by training')
     p.add_argument('--batch-size', type=int, default=8)
     p.add_argument('--img-size', type=int, default=640)
+    p.add_argument('--metrics', nargs='+', default=['bbox'],
+                   choices=['bbox', 'segm', 'proposal_fast'],
+                   help="evaluation metrics (reference coco.py:412): "
+                        "'bbox', 'segm' (mask-capable models), "
+                        "'proposal_fast' (AR@100/300/1000)")
+    p.add_argument('--mask-thr', type=float, default=0.5)
     p.add_argument('--out', help='dump results json')
     return p.parse_args()
 
@@ -25,19 +31,34 @@ def main():
     from tpudet.apis.test import single_device_test
     from tpudet.config import Config
     from tpudet.data.dataset import build_dataset
-    from tpudet.evaluation.mean_ap import coco_fast_bbox_eval
+    from tpudet.evaluation.mean_ap import (coco_fast_bbox_eval,
+                                           coco_fast_segm_eval)
 
     cfg = Config.fromfile(args.config)
     det = init_detector(cfg, args.checkpoint)
     dataset = build_dataset({**cfg['data']['test'], 'test_mode': True})
+    with_masks = 'segm' in args.metrics
     results = single_device_test(det.model, det.variables, dataset,
                                  batch_size=args.batch_size,
-                                 img_size=args.img_size)
+                                 img_size=args.img_size,
+                                 with_masks=with_masks,
+                                 mask_thr=args.mask_thr)
+    if with_masks:
+        results, segm_results = results
     annotations = [
         dataset.get_ann_info_test(i) for i in range(len(dataset))
     ]
-    report = coco_fast_bbox_eval(results, annotations,
-                                 classes=dataset.CLASSES)
+    report = {}
+    if 'bbox' in args.metrics:
+        report.update(coco_fast_bbox_eval(results, annotations,
+                                          classes=dataset.CLASSES))
+    if 'proposal_fast' in args.metrics:
+        from tpudet.evaluation.recall import coco_proposal_fast_eval
+        report.update(coco_proposal_fast_eval(results, annotations))
+    if with_masks:
+        report.update(coco_fast_segm_eval(results, segm_results,
+                                          annotations,
+                                          classes=dataset.CLASSES))
     print(json.dumps(report, indent=2))
     if args.out:
         with open(args.out, 'w') as f:

@@ -85,8 +85,34 @@ def init_detector(config: Union[str, Config, Dict],
         variables, meta = load_variables(checkpoint)
         classes = meta.get('CLASSES', classes)
     else:
-        variables = jax.jit(model.init)(jax.random.PRNGKey(0),
-                                        jnp.zeros((1, 64, 64, 3)))
+        img0 = jnp.zeros((1, 64, 64, 3))
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), img0)
+        # mask branches are not touched by __call__; union their params
+        # in so predict_masks works on a fresh (untrained) detector
+        from .test import _mask_mode
+        mode = _mask_mode(model)
+        if mode in ('roi', 'roi_labels'):
+            import flax
+            boxes = jnp.zeros((1, 4, 4))
+            valid = jnp.zeros((1, 4), bool)
+            args = (img0, boxes, valid)
+            if mode == 'roi_labels':
+                args += (jnp.zeros((1, 4), jnp.int32),)
+            mask_vars = jax.jit(
+                model.init, static_argnames=('method',))(
+                    jax.random.PRNGKey(0), *args, method='predict_masks')
+            def deep_merge(base, extra):
+                out = dict(base)
+                for k, v in extra.items():
+                    if k in out and isinstance(out[k], dict) and \
+                            isinstance(v, dict):
+                        out[k] = deep_merge(out[k], v)
+                    else:
+                        out.setdefault(k, v)
+                return out
+
+            variables = deep_merge(flax.core.unfreeze(variables),
+                                   flax.core.unfreeze(mask_vars))
     return Detector(model, variables, cfg, classes)
 
 
@@ -140,9 +166,15 @@ def _pipeline_pad_divisor(detector) -> int:
 
 def inference_detector(detector: Detector,
                        img: Union[str, np.ndarray],
-                       pad_to: Optional[int] = 640) -> List[np.ndarray]:
+                       pad_to: Optional[int] = 640,
+                       with_masks: bool = False,
+                       mask_thr: float = 0.5):
     """Single-image inference returning per-class (n, 5) arrays
-    (reference apis/inference.py:89-152 contract)."""
+    (reference apis/inference.py:89-152 contract).
+
+    ``with_masks=True`` on a mask-capable detector returns the
+    reference's ``(bbox_result, segm_result)`` two-tuple with per-class
+    RLE lists."""
     results = _prepare_image(detector, img)
     image = results['img'].astype(np.float32)
     if pad_to is not None:
@@ -151,6 +183,40 @@ def inference_detector(detector: Detector,
     batch_img = image[None]
     scale_factor = np.asarray(results['scale_factor'],
                               np.float32).reshape(1, 4)
+    if with_masks:
+        import jax
+        import jax.numpy as jnp
+
+        from .test import _mask_mode, masks_to_segm_results
+        model = detector.model
+        mode = _mask_mode(model)
+        if mode is None:
+            raise ValueError(
+                f'{type(model).__name__} has no mask branch')
+        outputs = model.apply(detector.variables, batch_img)
+        if mode == 'proto':
+            res, probs = model.predict_masks(outputs,
+                                             scale_factors=scale_factor)
+        else:
+            res = model.get_bboxes(outputs, scale_factors=scale_factor)
+            in_boxes = res.bboxes * scale_factor[:, None, :]
+            if mode == 'roi_labels':
+                probs = model.apply(detector.variables, batch_img, in_boxes,
+                                    res.valid, res.labels,
+                                    method='predict_masks')
+            else:
+                probs = model.apply(detector.variables, batch_img, in_boxes,
+                                    res.valid, method='predict_masks')
+            if probs.ndim == 5:
+                cls_idx = jnp.clip(res.labels, 0, probs.shape[-1] - 1)
+                probs = jnp.take_along_axis(
+                    probs, cls_idx[:, :, None, None, None], axis=-1)[..., 0]
+        ori = results.get('ori_shape') or image.shape[:2]
+        metas = [dict(ori_shape=ori)]
+        segm = masks_to_segm_results(probs, res, metas,
+                                     len(detector.CLASSES), mask_thr)[0]
+        bbox = nms_result_to_per_class(res, len(detector.CLASSES))[0]
+        return bbox, segm
     res = detector(batch_img, scale_factor, rescale=True)
     return nms_result_to_per_class(res, len(detector.CLASSES))[0]
 

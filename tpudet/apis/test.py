@@ -54,12 +54,56 @@ def tta_get_bboxes(model, variables, aug_imgs, aug_scale_factors,
                        nms_pre=nms_pre)
 
 
+def _mask_mode(model):
+    """Classify the detector's mask-prediction API, if any."""
+    import inspect
+    if not hasattr(model, 'predict_masks'):
+        return None
+    params = list(inspect.signature(model.predict_masks).parameters)
+    if 'outputs' in params:
+        return 'proto'  # YOLACT: predict_masks(outputs) -> (res, masks)
+    if 'det_labels' in params:
+        return 'roi_labels'  # PointRend: (img, boxes, valid, labels)
+    return 'roi'  # Mask R-CNN family: (img, boxes, valid) -> (B,D,s,s,C)
+
+
+def masks_to_segm_results(mask_probs, res, metas, num_classes,
+                          mask_thr: float = 0.5):
+    """Paste per-detection mask probs into original image frames and
+    return reference-format per-image per-class RLE lists
+    (mmdet/core/mask/utils.py encode_mask_results analogue)."""
+    from ..core.mask import encode_rle, paste_mask_probs
+
+    bboxes = np.asarray(res.bboxes)
+    labels = np.asarray(res.labels)
+    valid = np.asarray(res.valid)
+    probs = np.asarray(mask_probs)
+    out = []
+    for i, meta in enumerate(metas):
+        h, w = meta['ori_shape'][:2]
+        v = valid[i]
+        full = paste_mask_probs(probs[i][v], bboxes[i][v], h, w, mask_thr)
+        lab = labels[i][v]
+        per_cls = [[] for _ in range(num_classes)]
+        for m, c in zip(full, lab):
+            per_cls[int(c)].append(encode_rle(m))
+        out.append(per_cls)
+    return out
+
+
 def single_device_test(model, variables, dataset, batch_size: int = 8,
                        img_size: int = 640, max_gts: int = 0,
-                       progress: bool = True) -> List[List[np.ndarray]]:
+                       progress: bool = True, with_masks: bool = False,
+                       mask_thr: float = 0.5):
     """Run detection over a test-mode dataset; returns per-image per-class
-    results aligned with dataset order."""
+    results aligned with dataset order.
+
+    With ``with_masks=True`` (and a mask-capable detector) returns
+    ``(bbox_results, segm_results)`` like the reference's two-tuple
+    simple_test output (mmdet/models/detectors/two_stage.py simple_test
+    + encode_mask_results)."""
     import jax
+    import jax.numpy as jnp
 
     from ..data.loader import DetDataLoader
 
@@ -71,17 +115,53 @@ def single_device_test(model, variables, dataset, batch_size: int = 8,
     else:
         num_classes = 1
 
+    mode = _mask_mode(model) if with_masks else None
+    if with_masks and mode is None:
+        raise ValueError(f'{type(model).__name__} has no mask branch')
+
     @jax.jit
     def infer(variables, img, scale_factor):
         pred_maps = model.apply(variables, img)
         return model.get_bboxes(pred_maps, scale_factors=scale_factor)
 
+    @jax.jit
+    def infer_masks(variables, img, scale_factor):
+        outputs = model.apply(variables, img)
+        if mode == 'proto':
+            res, masks = model.predict_masks(outputs,
+                                             scale_factors=scale_factor)
+            return res, masks
+        res = model.get_bboxes(outputs, scale_factors=scale_factor)
+        # roi pooling happens in the network input frame
+        in_boxes = res.bboxes * scale_factor[:, None, :]
+        if mode == 'roi_labels':
+            probs = model.apply(variables, img, in_boxes, res.valid,
+                                res.labels, method='predict_masks')
+        else:
+            probs = model.apply(variables, img, in_boxes, res.valid,
+                                method='predict_masks')
+        if probs.ndim == 5:  # (B, D, s, s, C): take the predicted class
+            cls_idx = jnp.clip(res.labels, 0, probs.shape[-1] - 1)
+            probs = jnp.take_along_axis(
+                probs, cls_idx[:, :, None, None, None], axis=-1)[..., 0]
+        return res, probs
+
     loader = DetDataLoader(dataset, batch_size=batch_size, max_gts=1,
                            img_size=img_size, shuffle=False, drop_last=False)
     results: List[Optional[list]] = [None] * len(dataset)
+    segms: List[Optional[list]] = [None] * len(dataset)
     done = 0
     for batch in loader:
-        res = infer(variables, batch['img'], batch['scale_factor'])
+        if mode is None:
+            res = infer(variables, batch['img'], batch['scale_factor'])
+        else:
+            res, mask_probs = infer_masks(variables, batch['img'],
+                                          batch['scale_factor'])
+            seg_batch = masks_to_segm_results(
+                mask_probs, res, batch['img_metas'], num_classes, mask_thr)
+            for seg, meta in zip(seg_batch, batch['img_metas']):
+                if segms[meta['_idx']] is None:
+                    segms[meta['_idx']] = seg
         per_img = nms_result_to_per_class(res, num_classes)
         for out, meta in zip(per_img, batch['img_metas']):
             if results[meta['_idx']] is None:
@@ -89,4 +169,7 @@ def single_device_test(model, variables, dataset, batch_size: int = 8,
         done += len(batch['img_metas'])
         if progress and done % (batch_size * 20) == 0:
             print(f'tested {done}/{len(dataset)}')
-    return [r for r in results if r is not None]
+    bbox_results = [r for r in results if r is not None]
+    if mode is None:
+        return bbox_results
+    return bbox_results, [s for s in segms if s is not None]

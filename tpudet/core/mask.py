@@ -71,3 +71,114 @@ def mask_targets_from_gt_frame(gt_frame_masks, gt_boxes, rois, out_size=28):
     wx = jnp.maximum(0., 1. - jnp.abs(sx[..., None] - cy))
     tmp = jnp.einsum('poy,pyx->pox', wy, gt_frame_masks)
     return jnp.einsum('pqx,pox->poq', wx, tmp)
+
+
+# ---------------------------------------------------------------------------
+# Inference-side mask output path (reference analogues:
+# mmdet/models/roi_heads/mask_heads/fcn_mask_head.py get_seg_masks +
+# mmdet/core/mask/utils.py encode_mask_results).
+# ---------------------------------------------------------------------------
+
+def segmentation_to_bitmap(segm, height: int, width: int) -> np.ndarray:
+    """COCO segmentation (polygon list or RLE dict) -> (H, W) uint8."""
+    import cv2
+    if segm is None:
+        return np.zeros((height, width), np.uint8)
+    if isinstance(segm, dict):  # RLE
+        return decode_rle(segm)
+    mask = np.zeros((height, width), np.uint8)
+    pts = [np.round(np.asarray(p, np.float32).reshape(-1, 2)).astype(
+        np.int32) for p in segm if len(p) >= 6]
+    if pts:
+        cv2.fillPoly(mask, pts, 1)
+    return mask
+
+
+def paste_mask_probs(probs: np.ndarray, boxes: np.ndarray, height: int,
+                     width: int, thr: float = 0.5) -> np.ndarray:
+    """Paste per-detection mask probabilities into the image frame.
+
+    Args:
+        probs: (D, s, s) float mask probabilities in each box frame.
+        boxes: (D, 4) xyxy in image coordinates.
+
+    Returns (D, H, W) uint8 binary masks (reference fcn_mask_head.py
+    get_seg_masks bilinear paste semantics).
+    """
+    import cv2
+    d = probs.shape[0]
+    out = np.zeros((d, height, width), np.uint8)
+    for i in range(d):
+        x1 = int(np.floor(boxes[i, 0]))
+        y1 = int(np.floor(boxes[i, 1]))
+        x2 = int(np.ceil(boxes[i, 2]))
+        y2 = int(np.ceil(boxes[i, 3]))
+        x1, y1 = max(x1, 0), max(y1, 0)
+        x2, y2 = min(x2, width), min(y2, height)
+        w, h = x2 - x1, y2 - y1
+        if w <= 0 or h <= 0:
+            continue
+        m = cv2.resize(probs[i].astype(np.float32), (w, h),
+                       interpolation=cv2.INTER_LINEAR)
+        out[i, y1:y2, x1:x2] = (m > thr).astype(np.uint8)
+    return out
+
+
+def encode_rle(mask: np.ndarray) -> dict:
+    """(H, W) binary -> COCO-style uncompressed RLE (column-major runs,
+    counts starting with the 0-run)."""
+    h, w = mask.shape
+    flat = np.asfortranarray(mask).flatten(order='F').astype(np.uint8)
+    if flat.size == 0:
+        return dict(size=[h, w], counts=[0])
+    change = np.nonzero(np.diff(flat))[0] + 1
+    idx = np.concatenate([[0], change, [flat.size]])
+    runs = np.diff(idx).tolist()
+    if flat[0] == 1:
+        runs = [0] + runs
+    return dict(size=[h, w], counts=runs)
+
+
+def decode_rle(rle: dict) -> np.ndarray:
+    h, w = rle['size']
+    counts = rle['counts']
+    if isinstance(counts, (bytes, str)):
+        raise ValueError('compressed RLE strings are not produced by '
+                         'tpudet; decode with pycocotools')
+    flat = np.zeros(h * w, np.uint8)
+    pos, val = 0, 0
+    for c in counts:
+        flat[pos:pos + c] = val
+        pos += c
+        val = 1 - val
+    return flat.reshape((h, w), order='F')
+
+
+def rle_area(rle: dict) -> int:
+    return int(sum(rle['counts'][1::2]))
+
+
+def mask_iou_matrix(det_masks, gt_masks, gt_crowd=None) -> np.ndarray:
+    """IoU between detection and gt masks with COCO crowd semantics
+    (crowd gt: union = det area only — same rule as iou_coco).
+
+    Args: lists of (H, W) binary arrays or RLE dicts.
+    """
+    def as_mask(m):
+        return decode_rle(m) if isinstance(m, dict) else m
+
+    dets = [as_mask(m).astype(bool) for m in det_masks]
+    gts = [as_mask(m).astype(bool) for m in gt_masks]
+    if gt_crowd is None:
+        gt_crowd = np.zeros(len(gts), bool)
+    ious = np.zeros((len(dets), len(gts)), np.float32)
+    for j, g in enumerate(gts):
+        g_sum = g.sum()
+        for i, d in enumerate(dets):
+            inter = np.logical_and(d, g).sum()
+            if gt_crowd[j]:
+                union = d.sum()
+            else:
+                union = d.sum() + g_sum - inter
+            ious[i, j] = inter / union if union > 0 else 0.0
+    return ious

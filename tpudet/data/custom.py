@@ -205,25 +205,76 @@ class XMLDataset(CustomDataset):
             w = int(size.find('width').text)
             h = int(size.find('height').text)
             bboxes, labels = [], []
+            bboxes_ignore, labels_ignore = [], []
             for obj in root.findall('object'):
                 name = obj.find('name').text
                 if name not in cat2label:
                     continue
+                diff = obj.find('difficult')
+                difficult = int(diff.text) if diff is not None else 0
                 b = obj.find('bndbox')
                 box = [float(b.find(t).text)
                        for t in ('xmin', 'ymin', 'xmax', 'ymax')]
+                ignore = bool(difficult)
                 if self.min_size:
                     if (box[2] - box[0] < self.min_size
                             or box[3] - box[1] < self.min_size):
-                        continue
-                bboxes.append(box)
-                labels.append(cat2label[name])
+                        ignore = True
+                if ignore:
+                    # difficult/undersized objects go to the ignore set
+                    # (reference xml_style.py:86-104)
+                    bboxes_ignore.append(box)
+                    labels_ignore.append(cat2label[name])
+                else:
+                    bboxes.append(box)
+                    labels.append(cat2label[name])
             data_infos.append(
                 dict(filename=f'JPEGImages/{img_id}.jpg', width=w, height=h,
                      ann=dict(
                          bboxes=np.asarray(bboxes, np.float32).reshape(-1, 4),
-                         labels=np.asarray(labels, np.int64))))
+                         labels=np.asarray(labels, np.int64),
+                         bboxes_ignore=np.asarray(
+                             bboxes_ignore, np.float32).reshape(-1, 4),
+                         labels_ignore=np.asarray(labels_ignore,
+                                                  np.int64))))
         return data_infos
+
+    def evaluate(self, results, metric='mAP', iou_thr=0.5,
+                 proposal_nums=(100, 300, 1000), year='2007',
+                 scale_ranges=None):
+        """VOC-protocol evaluation (reference voc.py:32-91).
+
+        Args:
+            results: per-image per-class det lists.
+            metric: 'mAP' or 'recall'.
+        """
+        from ..evaluation.recall import eval_recalls
+        from ..evaluation.voc_map import eval_map
+        annotations = [
+            {**self.data_infos[i]['ann']} for i in range(len(self))
+        ]
+        if metric == 'mAP':
+            ds_name = 'voc07' if str(year) == '2007' else self.CLASSES
+            mean_ap, _ = eval_map(results, annotations,
+                                  scale_ranges=scale_ranges,
+                                  iou_thr=iou_thr, dataset=ds_name)
+            return {'mAP': float(mean_ap)}
+        if metric == 'recall':
+            gts = [ann['bboxes'] for ann in annotations]
+            proposals = []
+            for r in results:
+                if isinstance(r, list):
+                    r = np.vstack([x for x in r if len(x)]) if any(
+                        len(x) for x in r) else np.zeros((0, 5), np.float32)
+                proposals.append(np.asarray(r))
+            recalls = eval_recalls(gts, proposals, list(proposal_nums),
+                                   [iou_thr] if np.isscalar(iou_thr)
+                                   else list(iou_thr))
+            out = {}
+            for i, n in enumerate(proposal_nums):
+                out[f'recall@{n}'] = float(recalls[i].mean())
+            return out
+        raise KeyError(f'metric {metric} is not supported')
 
 
 @DATASETS.register_module()

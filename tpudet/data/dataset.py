@@ -152,7 +152,8 @@ class CocoDataset:
         evaluator (reference coco.py:357-411)."""
         img_info = self.data_infos[idx]
         anns = self.coco.img_to_anns[img_info['id']]
-        bboxes, labels = [], []
+        img_shape = (img_info.get('height', 0), img_info.get('width', 0))
+        bboxes, labels, masks = [], [], []
         attrs = dict(ignore=[], iscrowd=[], area=[])
         for ann in anns:
             iscrowd = bool(ann.get('iscrowd', False))
@@ -164,10 +165,13 @@ class CocoDataset:
             attrs['area'].append(ann.get('area', w * h))
             bboxes.append([x1, y1, x1 + w, y1 + h])
             labels.append(self.cat2label.get(ann['category_id'], 0))
+            masks.append(ann.get('segmentation'))
         if bboxes:
             return dict(
                 gt_bboxes=np.array(bboxes, np.float32),
                 gt_labels=np.array(labels, np.int64),
+                gt_masks=masks,
+                img_shape=img_shape,
                 gt_attrs={
                     k: np.array(v, bool if k != 'area' else np.float32)
                     for k, v in attrs.items()
@@ -175,6 +179,8 @@ class CocoDataset:
         return dict(
             gt_bboxes=np.zeros((0, 4), np.float32),
             gt_labels=np.array([], np.int64),
+            gt_masks=[],
+            img_shape=img_shape,
             gt_attrs=dict(ignore=np.array([], bool),
                           iscrowd=np.array([], bool),
                           area=np.array([], np.float32)))

@@ -18,7 +18,16 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ...registry import BACKBONES
-from ..layers import (BatchNormAct, Conv2d, ConvModule, max_pool_same)
+import functools
+
+from ..layers import (DARKNET_BN, Conv2d, max_pool_same)
+from ..layers import BatchNormAct as _BatchNormAct
+from ..layers import ConvModule as _ConvModule
+
+# the whole CSP family uses the fork's BN convention
+# (darknetcsp.py:387: eps=0.001, momentum=0.03)
+ConvModule = functools.partial(_ConvModule, **DARKNET_BN)
+BatchNormAct = functools.partial(_BatchNormAct, **DARKNET_BN)
 
 ActCfg = Optional[Union[str, dict]]
 

@@ -186,7 +186,10 @@ class YOLOCSPHead(nn.Module):
             bbox = bbox / scale_factors[:, None, :]
         if not with_nms:
             return bbox, scores
-        nms_pre = min(nms_pre, scores.shape[1] * scores.shape[2])
+        total = scores.shape[1] * scores.shape[2]
+        # nms_pre <= 0 means uncapped (reference nms_pre=-1 semantics,
+        # configs/yolov4/yolov4l_coco_mosaic.py:14-15)
+        nms_pre = total if nms_pre <= 0 else min(nms_pre, total)
         return batched_nms(bbox, scores, score_thr, iou_thr, max_per_img,
                            nms_pre=nms_pre, nms_type=nms_type, sigma=sigma,
                            min_score=min_score)

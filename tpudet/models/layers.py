@@ -24,9 +24,13 @@ import jax.numpy as jnp
 
 from ..ops.mish import mish
 
-# torch BN momentum 0.03 -> flax decay 0.97 (see module docstring)
-BN_MOMENTUM = 0.97
-BN_EPS = 1e-3
+# Defaults follow torch/mmcv BN defaults (eps 1e-5, momentum 0.1 ->
+# flax decay 0.9).  The DarknetCSP fork family overrides these with its
+# eps=0.001 momentum=0.03 convention (darknetcsp.py:387) via the
+# DARKNET_BN kwargs — see darknet_csp.py / yolo_neck_csp.py.
+BN_MOMENTUM = 0.9
+BN_EPS = 1e-5
+DARKNET_BN = dict(bn_eps=1e-3, bn_momentum=0.97)
 
 
 def get_activation(act: Optional[Union[str, dict]]) -> Optional[Callable]:
@@ -70,6 +74,8 @@ class ConvModule(nn.Module):
     act: Optional[Union[str, dict]] = 'Mish'
     use_norm: bool = True
     use_bias: bool = False
+    bn_eps: float = BN_EPS
+    bn_momentum: float = BN_MOMENTUM
     dtype: Any = None  # computation dtype (None -> infer from input)
 
     @nn.compact
@@ -88,8 +94,8 @@ class ConvModule(nn.Module):
         if self.use_norm:
             x = nn.BatchNorm(
                 use_running_average=not train,
-                momentum=BN_MOMENTUM,
-                epsilon=BN_EPS,
+                momentum=self.bn_momentum,
+                epsilon=self.bn_eps,
                 dtype=self.dtype,
                 name='bn')(x)
         act_fn = get_activation(self.act)
@@ -125,14 +131,16 @@ class BatchNormAct(nn.Module):
     """Shared BN + activation applied to concatenated CSP branches
     (reference darknetcsp.py:88-95)."""
     act: Optional[Union[str, dict]] = 'Mish'
+    bn_eps: float = BN_EPS
+    bn_momentum: float = BN_MOMENTUM
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.BatchNorm(
             use_running_average=not train,
-            momentum=BN_MOMENTUM,
-            epsilon=BN_EPS,
+            momentum=self.bn_momentum,
+            epsilon=self.bn_eps,
             dtype=self.dtype,
             name='bn')(x)
         act_fn = get_activation(self.act)

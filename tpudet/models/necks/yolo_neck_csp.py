@@ -20,7 +20,13 @@ import jax.numpy as jnp
 
 from ...registry import NECKS
 from ..backbones.darknet_csp import BottleneckCSP, BottleneckCSP2
-from ..layers import ConvModule, upsample_nearest_2x
+import functools
+
+from ..layers import DARKNET_BN, upsample_nearest_2x
+from ..layers import ConvModule as _ConvModule
+
+# CSP necks keep the fork BN convention (yolo_neck_csp.py:48-49)
+ConvModule = functools.partial(_ConvModule, **DARKNET_BN)
 
 ActCfg = Optional[Union[str, dict]]
 
