@@ -1,0 +1,9 @@
+# GCNet: Mask R-CNN + ContextBlock ratio 1/16 on stages c3-c5
+# (reference configs/gcnet/mask_rcnn_r50_fpn_r16_gcb_c3-c5_1x_coco.py
+#  via the backbone plugin mechanism, resnet.py:110-136).
+_base_ = '../mask_rcnn/mask_rcnn_r50_fpn_1x_coco.py'
+model = dict(
+    backbone=dict(plugins=[
+        dict(cfg=dict(type='ContextBlock', ratio=1. / 16),
+             stages=(False, True, True, True), position='after_conv3')
+    ]))

@@ -65,3 +65,52 @@ def test_native_match_matches_numpy(lib):
         finally:
             nat.match_coco_native = real
         np.testing.assert_array_equal(got, want)
+
+
+def test_native_match_best_only_matches_numpy(lib):
+    """C++ match_best_only vs the numpy reference body (native path
+    bypassed by calling the fallback logic directly)."""
+    import tpudet.evaluation.mean_ap as m
+    rng = np.random.RandomState(7)
+    for trial in range(5):
+        det = rand_boxes(30, rng)
+        gt = rand_boxes(12, rng, spread=120.)
+        crowd = rng.rand(12) < 0.2
+        ignore = (rng.rand(12) < 0.25) | crowd
+        iou = numpy_iou(det, gt, crowd).astype(np.float32)
+        thrs = np.array([0.1, 0.3, 0.5, 0.75], np.float32)
+
+        native_out = native.match_best_only_native(iou, thrs, ignore, crowd)
+        assert native_out is not None
+
+        # numpy reference body (copy of the fallback loop semantics)
+        num_det, num_gt = iou.shape
+        expected = np.full((len(thrs), num_det), -1, np.int32)
+        regular = ~ignore
+        best_reg = np.max(np.where(regular[None, :], iou, -np.inf),
+                          axis=1) if regular.any() else \
+            np.full(num_det, -np.inf)
+        for t, thr0 in enumerate(thrs):
+            avail = np.ones(num_gt, bool)
+            for d in range(num_det):
+                thr = thr0
+                mm = -1
+                for g in range(num_gt):
+                    if not avail[g] and not crowd[g]:
+                        continue
+                    if mm > -1 and regular[mm] and ignore[g]:
+                        continue
+                    if iou[d, g] < thr:
+                        continue
+                    if regular[g]:
+                        if iou[d, g] == best_reg[d]:
+                            mm = g
+                            break
+                    else:
+                        thr = iou[d, g]
+                        mm = g
+                if mm != -1:
+                    expected[t, d] = mm
+                    if not crowd[mm]:
+                        avail[mm] = False
+        np.testing.assert_array_equal(native_out, expected)

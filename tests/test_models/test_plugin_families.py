@@ -1,0 +1,169 @@
+"""Config-driven forward smoke for the plugin/norm config families
+(gn, gn+ws, gcnet, empirical_attention, libra_rcnn) — the round-1
+hollow directories.  Each test builds FROM THE CONFIG FILE (shrunk for
+CPU), runs forward_train (loss finite) and the detection path.
+
+Mirrors the reference test pattern
+(/root/reference/tests/test_models/test_forward.py:34-92).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpudet.config import Config
+from tpudet.models.builder import build_detector
+
+SHRINK = dict(
+    backbone=dict(depth=18, base_channels=16),
+    neck_small=[16, 32, 64, 128],
+)
+
+
+def _shrink_model_cfg(cfg):
+    m = cfg['model']
+    if m['backbone'].get('type', 'ResNet') == 'ResNet':
+        m['backbone']['depth'] = 18
+        m['backbone']['base_channels'] = 16
+        if m['backbone'].get('norm') == 'GN':
+            m['backbone']['gn_groups'] = 8
+    if isinstance(m.get('neck'), dict) and m['neck'].get('norm') == 'GN':
+        m['neck']['gn_groups'] = 8
+    if 'roi_head' in m and m['roi_head'].get('norm') == 'GN':
+        m['roi_head']['gn_groups'] = 8
+    if isinstance(m.get('neck'), dict) and m['neck'].get('type') == 'FPN':
+        m['neck']['in_channels'] = [16, 32, 64, 128]
+        m['neck']['out_channels'] = 32
+    elif isinstance(m.get('neck'), list):
+        for n in m['neck']:
+            if n['type'] == 'FPN':
+                n['in_channels'] = [16, 32, 64, 128]
+                n['out_channels'] = 32
+            if n['type'] == 'BFP':
+                n['in_channels'] = 32
+    for key in ('rpn_head',):
+        if key in m:
+            m[key]['in_channels'] = 32
+            m[key]['feat_channels'] = 32
+    if 'roi_head' in m:
+        m['roi_head']['in_channels'] = 32
+        m['roi_head']['num_classes'] = 3
+        m['roi_head']['num_samples'] = 16
+    if 'bbox_head' in m and 'roi_head' not in m:
+        m['bbox_head']['in_channels'] = 32
+        m['bbox_head']['feat_channels'] = 32
+        m['bbox_head']['num_classes'] = 3
+        m['bbox_head']['stacked_convs'] = 1
+    if 'train_cfg' in m and m['train_cfg']:
+        m['train_cfg'].setdefault('rpn_proposal', {})
+        m['train_cfg']['rpn_proposal'].update(nms_pre=64, max_per_img=32)
+    m.setdefault('test_cfg', {})
+    if 'rpn_head' in m:
+        m['test_cfg'].setdefault('rpn', {})
+        m['test_cfg']['rpn'].update(nms_pre=64, max_per_img=32)
+    return cfg
+
+
+def _demo(batch=1, size=64, g=3, classes=3, seed=0):
+    rng = np.random.RandomState(seed)
+    img = jnp.asarray(rng.rand(batch, size, size, 3).astype(np.float32))
+    xy = rng.uniform(0, size * 0.6, (batch, g, 2))
+    wh = rng.uniform(8, size * 0.4, (batch, g, 2))
+    boxes = jnp.asarray(
+        np.concatenate([xy, np.minimum(xy + wh, size)], -1).astype(
+            np.float32))
+    labels = jnp.asarray(rng.randint(0, classes, (batch, g)))
+    valid = jnp.ones((batch, g), bool)
+    return img, boxes, labels, valid
+
+
+@pytest.mark.parametrize('config', [
+    'configs/gn/mask_rcnn_r50_fpn_gn-all_2x_coco.py',
+    'configs/gn+ws/mask_rcnn_r50_fpn_gn_ws-all_2x_coco.py',
+    'configs/gcnet/mask_rcnn_r50_fpn_r16_gcb_c3-c5_1x_coco.py',
+])
+def test_mask_family_forward(config):
+    cfg = _shrink_model_cfg(Config.fromfile(config))
+    model = build_detector(cfg['model'])
+    img, boxes, labels, valid = _demo()
+    gfm = jnp.ones((1, 3, 16, 16), jnp.float32)
+    variables = jax.jit(model.init, static_argnames=('method',))(
+        jax.random.PRNGKey(0), img, boxes, labels, valid, gfm,
+        method='forward_train')
+    losses, _ = model.apply(variables, img, boxes, labels, valid, gfm,
+                            method='forward_train',
+                            mutable=['batch_stats'])
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    outputs = model.apply(variables, img)
+    res = model.get_bboxes(outputs)
+    assert np.isfinite(np.asarray(res.bboxes)).all()
+
+
+@pytest.mark.parametrize('config', [
+    'configs/gn+ws/faster_rcnn_r50_fpn_gn_ws-all_1x_coco.py',
+    'configs/empirical_attention/'
+    'faster_rcnn_r50_fpn_attention_0010_1x_coco.py',
+    'configs/empirical_attention/'
+    'faster_rcnn_r50_fpn_attention_1111_1x_coco.py',
+    'configs/libra_rcnn/libra_faster_rcnn_r50_fpn_1x_coco.py',
+])
+def test_faster_family_forward(config):
+    cfg = _shrink_model_cfg(Config.fromfile(config))
+    model = build_detector(cfg['model'])
+    img, boxes, labels, valid = _demo()
+    variables = jax.jit(model.init, static_argnames=('method',))(
+        jax.random.PRNGKey(0), img, boxes, labels, valid,
+        method='forward_train')
+    losses, _ = model.apply(variables, img, boxes, labels, valid,
+                            method='forward_train',
+                            mutable=['batch_stats'])
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    outputs = model.apply(variables, img)
+    res = model.get_bboxes(outputs)
+    assert np.isfinite(np.asarray(res.bboxes)).all()
+
+
+def test_libra_retinanet_forward():
+    cfg = _shrink_model_cfg(Config.fromfile(
+        'configs/libra_rcnn/libra_retinanet_r50_fpn_1x_coco.py'))
+    model = build_detector(cfg['model'])
+    img, boxes, labels, valid = _demo()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img)
+    preds = model.apply(variables, img)
+    losses = model.bbox_head.loss(preds, boxes, labels, valid)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+
+
+def test_iou_balanced_sampler_bins():
+    """IoU-balanced negatives must spread across IoU bins instead of
+    clustering in the easy [0, thr/3) bin (Libra's motivation)."""
+    from tpudet.models.roi_heads.standard_roi_head import StandardRoIHead
+    head = StandardRoIHead(num_classes=3, in_channels=32,
+                           neg_sampling='iou_balanced', num_samples=32)
+    rng = np.random.RandomState(0)
+    gt = jnp.asarray([[[10., 10., 50., 50.]]])
+    gt_labels = jnp.asarray([[1]])
+    gt_valid = jnp.ones((1, 1), bool)
+    # proposals: 100 with IoU~0 and 100 near-misses (IoU in (0.1, 0.5))
+    far = rng.uniform(60, 120, (100, 2))
+    far_boxes = np.concatenate([far, far + 20], -1)
+    near = []
+    for _ in range(100):
+        dx = rng.uniform(10, 25)
+        near.append([10 + dx, 10, 50 + dx, 50])
+    props = jnp.asarray(np.concatenate(
+        [far_boxes, np.array(near)])[None].astype(np.float32))
+    prop_valid = jnp.ones((1, 200), bool)
+    rois, sampled, labels, targets, pos = head.sample_rois(
+        props, prop_valid, gt, gt_labels, gt_valid)
+    assert int(sampled.sum()) == 32
+    # count sampled negatives that are near-misses (x1 > 15 => near set)
+    neg_mask = np.asarray(sampled & (labels == 3))[0]
+    neg_rois = np.asarray(rois)[0][neg_mask]
+    near_count = int((neg_rois[:, 0] > 15).sum())
+    # balanced sampling must include a healthy share of hard negatives;
+    # plain random would give ~50% too, but zero/near-zero means broken
+    assert near_count >= 8

@@ -20,6 +20,10 @@ def parse_args():
                         "'bbox', 'segm' (mask-capable models), "
                         "'proposal_fast' (AR@100/300/1000)")
     p.add_argument('--mask-thr', type=float, default=0.5)
+    p.add_argument('--tta', action='store_true',
+                   help='flip test-time augmentation with merged-candidate '
+                        'NMS (reference MultiScaleFlipAug + '
+                        'aug_test_bboxes); single-stage models')
     p.add_argument('--out', help='dump results json')
     return p.parse_args()
 
@@ -42,7 +46,7 @@ def main():
                                  batch_size=args.batch_size,
                                  img_size=args.img_size,
                                  with_masks=with_masks,
-                                 mask_thr=args.mask_thr)
+                                 mask_thr=args.mask_thr, tta=args.tta)
     if with_masks:
         results, segm_results = results
     annotations = [

@@ -37,7 +37,8 @@ def tta_get_bboxes(model, variables, aug_imgs, aug_scale_factors,
     all_boxes, all_scores = [], []
     for img, sf, flip in zip(aug_imgs, aug_scale_factors, aug_flips):
         pred_maps = model.apply(variables, img)
-        bbox, scores = model.bbox_head.get_bboxes(pred_maps, with_nms=False)
+        out = model.bbox_head.get_bboxes(pred_maps, with_nms=False)
+        bbox, scores = out[0], out[1]  # yolov3's raw return adds conf
         if flip:
             w = img.shape[2] / sf[:, None, 0]  # original-space width
             x1 = w - bbox[..., 2] / sf[:, None, 0]
@@ -91,12 +92,63 @@ def masks_to_segm_results(mask_probs, res, metas, num_classes,
     return out
 
 
+def _gather_object_shards(local: list, process_count: int):
+    """All-gather python objects across hosts (reference
+    apis/test.py:117-190 collect_results_cpu/gpu analogue): pickle ->
+    padded uint8 arrays -> ``process_allgather`` -> merge."""
+    import pickle
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    blob = np.frombuffer(pickle.dumps(local), np.uint8)
+    n = jnp.asarray([blob.size])
+    sizes = np.asarray(multihost_utils.process_allgather(n)).reshape(-1)
+    pad = int(sizes.max())
+    padded = np.zeros(pad, np.uint8)
+    padded[:blob.size] = blob
+    gathered = np.asarray(
+        multihost_utils.process_allgather(jnp.asarray(padded)))
+    gathered = gathered.reshape(len(sizes), pad)
+    shards = [
+        pickle.loads(gathered[i, :int(sizes[i])].tobytes())
+        for i in range(len(sizes))
+    ]
+    return shards
+
+
+def merge_sharded_results(shards, total: int):
+    """Merge per-host sparse result lists ([(idx, obj), ...]) into a
+    dense dataset-ordered list; duplicate pad indices keep the first."""
+    out = [None] * total
+    for shard in shards:
+        for idx, obj in shard:
+            if out[idx] is None:
+                out[idx] = obj
+    return out
+
+
 def single_device_test(model, variables, dataset, batch_size: int = 8,
                        img_size: int = 640, max_gts: int = 0,
                        progress: bool = True, with_masks: bool = False,
-                       mask_thr: float = 0.5):
+                       mask_thr: float = 0.5,
+                       process_index: Optional[int] = None,
+                       process_count: Optional[int] = None,
+                       gather: bool = True, tta: bool = False,
+                       tta_score_thr: float = 0.001,
+                       tta_iou_thr: float = 0.65,
+                       tta_max_per_img: int = 300):
     """Run detection over a test-mode dataset; returns per-image per-class
     results aligned with dataset order.
+
+    Multi-host: each process evaluates a disjoint rank-strided shard of
+    the val set (reference DistributedSampler + multi_gpu_test,
+    apis/test.py:69-190) and the shards are all-gathered so every host
+    returns the full, dataset-ordered result list. Pass
+    ``process_index``/``process_count`` explicitly to shard without a
+    jax distributed runtime (used by the single-host sharding tests);
+    ``gather=False`` returns this host's sparse ``[(idx, result), ...]``.
 
     With ``with_masks=True`` (and a mask-capable detector) returns
     ``(bbox_results, segm_results)`` like the reference's two-tuple
@@ -106,6 +158,12 @@ def single_device_test(model, variables, dataset, batch_size: int = 8,
     import jax.numpy as jnp
 
     from ..data.loader import DetDataLoader
+
+    explicit_shard = process_count is not None
+    if process_count is None:
+        process_count = jax.process_count()
+    if process_index is None:
+        process_index = jax.process_index() if not explicit_shard else 0
 
     # single-stage heads, two-stage roi heads, or proposal-only RPN
     if hasattr(model, 'bbox_head'):
@@ -119,10 +177,26 @@ def single_device_test(model, variables, dataset, batch_size: int = 8,
     if with_masks and mode is None:
         raise ValueError(f'{type(model).__name__} has no mask branch')
 
+    if tta and mode is not None:
+        raise ValueError('TTA with masks is not supported')
+
     @jax.jit
     def infer(variables, img, scale_factor):
         pred_maps = model.apply(variables, img)
         return model.get_bboxes(pred_maps, scale_factors=scale_factor)
+
+    @jax.jit
+    def infer_tta(variables, img, scale_factor):
+        # flip TTA (reference MultiScaleFlipAug flip=True +
+        # aug_test_bboxes merge): identity + horizontal flip, merged
+        # candidate sets, one NMS
+        return tta_get_bboxes(
+            model, variables,
+            aug_imgs=[img, img[:, :, ::-1, :]],
+            aug_scale_factors=[scale_factor, scale_factor],
+            aug_flips=[False, True],
+            score_thr=tta_score_thr, iou_thr=tta_iou_thr,
+            max_per_img=tta_max_per_img)
 
     @jax.jit
     def infer_masks(variables, img, scale_factor):
@@ -147,12 +221,17 @@ def single_device_test(model, variables, dataset, batch_size: int = 8,
         return res, probs
 
     loader = DetDataLoader(dataset, batch_size=batch_size, max_gts=1,
-                           img_size=img_size, shuffle=False, drop_last=False)
+                           img_size=img_size, shuffle=False,
+                           drop_last=False, process_index=process_index,
+                           process_count=process_count)
     results: List[Optional[list]] = [None] * len(dataset)
     segms: List[Optional[list]] = [None] * len(dataset)
     done = 0
     for batch in loader:
-        if mode is None:
+        if tta:
+            res = infer_tta(variables, batch['img'],
+                            batch['scale_factor'])
+        elif mode is None:
             res = infer(variables, batch['img'], batch['scale_factor'])
         else:
             res, mask_probs = infer_masks(variables, batch['img'],
@@ -168,7 +247,27 @@ def single_device_test(model, variables, dataset, batch_size: int = 8,
                 results[meta['_idx']] = out
         done += len(batch['img_metas'])
         if progress and done % (batch_size * 20) == 0:
-            print(f'tested {done}/{len(dataset)}')
+            print(f'tested {done}/{len(dataset)} (shard '
+                  f'{process_index}/{process_count})')
+
+    def pack(dense):
+        return [(i, r) for i, r in enumerate(dense) if r is not None]
+
+    if process_count > 1:
+        local = pack(results) if mode is None else \
+            [(i, (r, segms[i])) for i, r in enumerate(results)
+             if r is not None]
+        if not gather:
+            return local
+        if explicit_shard:
+            # single-runtime sharding (tests): caller merges shards
+            return local
+        shards = _gather_object_shards(local, process_count)
+        if mode is None:
+            return merge_sharded_results(shards, len(dataset))
+        merged = merge_sharded_results(shards, len(dataset))
+        return ([m[0] for m in merged], [m[1] for m in merged])
+
     bbox_results = [r for r in results if r is not None]
     if mode is None:
         return bbox_results

@@ -208,6 +208,13 @@ def train_detector(cfg: Config,
         'evaluation', {}).get('interval', 1)
     log_interval = cfg.get('log_config', {}).get('interval', 50)
 
+    # NaN guard (SURVEY §5: the TPU-side jax_debug_nans analogue): check
+    # loss/grad finiteness every `interval` steps; dump diagnostics and
+    # abort instead of silently training on poisoned gradients.
+    nan_guard = cfg.get('nan_guard', dict(enabled=True, interval=50))
+    nan_interval = max(int(nan_guard.get('interval', 50)), 1) \
+        if nan_guard.get('enabled', True) else 0
+
     metrics = {}
     step = start_step
     best_map = -1.0
@@ -219,6 +226,20 @@ def train_detector(cfg: Config,
             batch.pop('scale_factor', None)
             state, metrics = step_fn(state, shard_batch(batch, mesh))
             step += 1
+            if nan_interval and step % nan_interval == 0:
+                loss_v = float(metrics.get('loss', 0.0))
+                gnorm_v = float(metrics.get('grad_norm', 0.0))
+                if not (np.isfinite(loss_v) and np.isfinite(gnorm_v)):
+                    bad = {k: float(v) for k, v in metrics.items()}
+                    logger.error(
+                        f'NaN guard tripped at step {step}: '
+                        + ' '.join(f'{k}={v}' for k, v in bad.items()))
+                    save_train_state(osp.join(work_dir, 'nan_dump'),
+                                     jax.device_get(state), step)
+                    raise FloatingPointError(
+                        f'non-finite training metrics at step {step} '
+                        f'(loss={loss_v}, grad_norm={gnorm_v}); state '
+                        f'dumped to {work_dir}/nan_dump')
             if step % log_interval == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 rate = (log_interval * global_batch * accumulation /

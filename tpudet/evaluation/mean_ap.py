@@ -147,7 +147,20 @@ def match_best_only(iou_mat: np.ndarray, iou_thrs: np.ndarray,
     mmdet/ops/eval_utils/match/match_best_only.pyx): a det may only match
     the regular gt that is its global-best regular IoU (first such
     available gt wins and the scan stops); ignored gts behave like
-    match_coco (best available above threshold, last-max ties)."""
+    match_coco (best available above threshold, last-max ties).
+
+    Uses the native C++ kernel (tpudet/ops/native) when available; this
+    numpy body is the reference implementation and fallback.
+    """
+    try:
+        from ..ops.native import match_best_only_native
+        out = match_best_only_native(iou_mat,
+                                     np.asarray(iou_thrs, np.float32),
+                                     is_ignore, is_crowd)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     num_det, num_gt = iou_mat.shape
     matched = np.full((len(iou_thrs), num_det), -1, dtype=np.int32)
     if num_gt == 0:

@@ -31,24 +31,69 @@ def conv(features, kernel, stride=1, dtype=None, name=None):
                    name=name)
 
 
+def _make_conv(conv_ws: bool):
+    """conv factory: plain he-normal conv or weight-standardized conv
+    (gn+ws configs, reference mmcv ConvWS2d)."""
+    if not conv_ws:
+        return conv
+    from ..plugins import WSConv
+
+    def ws(features, kernel, stride=1, dtype=None, name=None):
+        return WSConv(features, kernel, stride, dtype=dtype, name=name)
+    return ws
+
+
+def _norm(norm, gn_groups, train, dtype, name):
+    from ..plugins import make_norm
+    return make_norm(norm, train, dtype=dtype, name=name,
+                     gn_groups=gn_groups, bn_eps=BN_EPS,
+                     bn_momentum=BN_MOMENTUM)
+
+
+def _apply_plugins(x, plugins, position, dtype, train):
+    """Reference resnet.py:110-136 make_block_plugins/forward_plugin."""
+    if not plugins:
+        return x
+    from ..plugins import build_plugin
+    for i, p in enumerate(plugins):
+        cfg = p['cfg'] if 'cfg' in p else p
+        if p.get('position', 'after_conv3') != position:
+            continue
+        x = build_plugin(dict(cfg), x.shape[-1],
+                         f"plugin_{position}_{i}", dtype)(x, train)
+    return x
+
+
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
     downsample: bool = False
+    norm: str = 'BN'
+    gn_groups: int = 32
+    conv_ws: bool = False
+    plugins: Any = None
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
-        out = conv(self.planes, 3, self.stride, self.dtype, 'conv1')(x)
-        out = bn(train, self.dtype, 'bn1')(out)
+        cv = _make_conv(self.conv_ws)
+        out = cv(self.planes, 3, self.stride, self.dtype, 'conv1')(x)
+        out = _norm(self.norm, self.gn_groups, train, self.dtype,
+                    'bn1')(out)
         out = nn.relu(out)
-        out = conv(self.planes, 3, 1, self.dtype, 'conv2')(out)
-        out = bn(train, self.dtype, 'bn2')(out)
+        out = _apply_plugins(out, self.plugins, 'after_conv1', self.dtype,
+                             train)
+        out = cv(self.planes, 3, 1, self.dtype, 'conv2')(out)
+        out = _norm(self.norm, self.gn_groups, train, self.dtype,
+                    'bn2')(out)
+        out = _apply_plugins(out, self.plugins, 'after_conv2', self.dtype,
+                             train)
         if self.downsample:
-            identity = conv(self.planes, 1, self.stride, self.dtype,
-                            'ds_conv')(x)
-            identity = bn(train, self.dtype, 'ds_bn')(identity)
+            identity = cv(self.planes, 1, self.stride, self.dtype,
+                          'ds_conv')(x)
+            identity = _norm(self.norm, self.gn_groups, train, self.dtype,
+                             'ds_bn')(identity)
         return nn.relu(out + identity)
 
 
@@ -60,6 +105,10 @@ class Bottleneck(nn.Module):
     groups: int = 1  # >1 + base_width -> ResNeXt (reference resnext.py)
     base_width: int = 64
     with_dcn: bool = False  # DCNv2 on conv2 (reference configs/dcn)
+    norm: str = 'BN'
+    gn_groups: int = 32
+    conv_ws: bool = False
+    plugins: Any = None  # reference resnet.py:110-136 plugin cfgs
     dtype: Any = None
 
     @nn.compact
@@ -69,10 +118,14 @@ class Bottleneck(nn.Module):
             width = self.planes
         else:
             width = int(self.planes * (self.base_width / 64)) * self.groups
+        cv = _make_conv(self.conv_ws)
         # style='pytorch': stride on the 3x3 (reference resnet.py Bottleneck)
-        out = conv(width, 1, 1, self.dtype, 'conv1')(x)
-        out = bn(train, self.dtype, 'bn1')(out)
+        out = cv(width, 1, 1, self.dtype, 'conv1')(x)
+        out = _norm(self.norm, self.gn_groups, train, self.dtype,
+                    'bn1')(out)
         out = nn.relu(out)
+        out = _apply_plugins(out, self.plugins, 'after_conv1', self.dtype,
+                             train)
         pad = 1
         if self.with_dcn:
             assert self.groups == 1, 'DCN + grouped conv not supported'
@@ -80,6 +133,8 @@ class Bottleneck(nn.Module):
             out = ModulatedDeformConv2d(
                 width, kernel_size=3, stride=self.stride, use_bias=False,
                 dtype=self.dtype, name='conv2')(out)
+        elif self.conv_ws:
+            out = cv(width, 3, self.stride, self.dtype, 'conv2')(out)
         else:
             out = nn.Conv(width, (3, 3), (self.stride, self.stride),
                           padding=[(pad, pad), (pad, pad)],
@@ -87,15 +142,22 @@ class Bottleneck(nn.Module):
                           dtype=self.dtype,
                           kernel_init=nn.initializers.he_normal(),
                           name='conv2')(out)
-        out = bn(train, self.dtype, 'bn2')(out)
+        out = _norm(self.norm, self.gn_groups, train, self.dtype,
+                    'bn2')(out)
         out = nn.relu(out)
-        out = conv(self.planes * self.expansion, 1, 1, self.dtype,
-                   'conv3')(out)
-        out = bn(train, self.dtype, 'bn3')(out)
+        out = _apply_plugins(out, self.plugins, 'after_conv2', self.dtype,
+                             train)
+        out = cv(self.planes * self.expansion, 1, 1, self.dtype,
+                 'conv3')(out)
+        out = _norm(self.norm, self.gn_groups, train, self.dtype,
+                    'bn3')(out)
+        out = _apply_plugins(out, self.plugins, 'after_conv3', self.dtype,
+                             train)
         if self.downsample:
-            identity = conv(self.planes * self.expansion, 1, self.stride,
-                            self.dtype, 'ds_conv')(x)
-            identity = bn(train, self.dtype, 'ds_bn')(identity)
+            identity = cv(self.planes * self.expansion, 1, self.stride,
+                          self.dtype, 'ds_conv')(x)
+            identity = _norm(self.norm, self.gn_groups, train, self.dtype,
+                             'ds_bn')(identity)
         return nn.relu(out + identity)
 
 
@@ -108,6 +170,13 @@ class ResNet(nn.Module):
     base_width: int = 64
     # DCNv2 per stage (reference configs/dcn stage_with_dcn)
     stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
+    # norm_cfg switch + weight standardization (configs/gn, gn+ws)
+    norm: str = 'BN'
+    gn_groups: int = 32
+    conv_ws: bool = False
+    # plugin list (reference resnet.py:110-136): dicts with
+    # cfg=dict(type=...), stages=(bool x4), position='after_convN'
+    plugins: Any = None
     dtype: Any = None
 
     arch_settings = {
@@ -127,25 +196,38 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         block_cls, stage_blocks = self.arch_settings[self.depth]
-        x = nn.Conv(self.base_channels, (7, 7), (2, 2),
-                    padding=[(3, 3), (3, 3)], use_bias=False,
-                    dtype=self.dtype,
-                    kernel_init=nn.initializers.he_normal(),
-                    name='stem_conv')(x)
-        x = bn(train, self.dtype, 'stem_bn')(x)
+        if self.conv_ws:
+            from ..plugins import WSConv
+            x = WSConv(self.base_channels, 7, 2, dtype=self.dtype,
+                       name='stem_conv')(x)
+        else:
+            x = nn.Conv(self.base_channels, (7, 7), (2, 2),
+                        padding=[(3, 3), (3, 3)], use_bias=False,
+                        dtype=self.dtype,
+                        kernel_init=nn.initializers.he_normal(),
+                        name='stem_conv')(x)
+        x = _norm(self.norm, self.gn_groups, train, self.dtype,
+                  'stem_bn')(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), (2, 2), padding=[(1, 1), (1, 1)])
 
         outs = []
         for i, num_blocks in enumerate(stage_blocks):
             planes = self.base_channels * 2**i
+            stage_plugins = None
+            if self.plugins:
+                stage_plugins = tuple(
+                    p for p in self.plugins
+                    if p.get('stages', (True,) * 4)[i])
             for j in range(num_blocks):
                 stride = 2 if (i > 0 and j == 0) else 1
                 expansion = 4 if block_cls is Bottleneck else 1
                 needs_ds = (j == 0 and
                             (stride != 1
                              or x.shape[-1] != planes * expansion))
-                kw = dict(dtype=self.dtype)
+                kw = dict(dtype=self.dtype, norm=self.norm,
+                          gn_groups=self.gn_groups, conv_ws=self.conv_ws,
+                          plugins=stage_plugins)
                 if block_cls is Bottleneck:
                     kw.update(groups=self.groups, base_width=self.base_width,
                               with_dcn=self.stage_with_dcn[i])

@@ -43,7 +43,16 @@ def build_detector(cfg, train_cfg: Optional[Dict] = None,
     test_cfg = cfg.pop('test_cfg', None) if test_cfg is None else test_cfg
 
     backbone = build_backbone(backbone_cfg)
-    neck = build_neck(neck_cfg) if neck_cfg is not None else None
+    if neck_cfg is None:
+        neck = None
+    elif isinstance(neck_cfg, (list, tuple)):
+        # chained necks, e.g. Libra R-CNN's [FPN, BFP]
+        # (reference libra_faster_rcnn_r50_fpn_1x_coco.py:4-16)
+        from .necks.fpn import ChainedNeck
+        neck = ChainedNeck(
+            necks=tuple(build_neck(c) for c in neck_cfg))
+    else:
+        neck = build_neck(neck_cfg)
 
     det_cls = MODELS.get(det_type)
     if det_cls is None:

@@ -32,6 +32,8 @@ class FPN(nn.Module):
     start_level: int = 0
     add_extra_convs: Union[bool, str] = False  # False|'on_input'|'on_output'
     relu_before_extra_convs: bool = False
+    norm: Optional[str] = None  # 'GN' for configs/gn family
+    gn_groups: int = 32
     dtype: Any = None
 
     @nn.compact
@@ -39,17 +41,28 @@ class FPN(nn.Module):
         assert len(inputs) == len(self.in_channels)
         used = len(self.in_channels) - self.start_level
 
+        def post_norm(x, name):
+            if self.norm is None:
+                return x
+            from ..plugins import make_norm
+            return make_norm(self.norm, train, dtype=self.dtype,
+                             name=name, gn_groups=self.gn_groups)(x)
+
         laterals = [
-            _conv(self.out_channels, 1, dtype=self.dtype,
-                  name=f'lateral_conv{i}')(inputs[self.start_level + i])
+            post_norm(
+                _conv(self.out_channels, 1, dtype=self.dtype,
+                      name=f'lateral_conv{i}')(inputs[self.start_level + i]),
+                f'lateral_norm{i}')
             for i in range(used)
         ]
         for i in range(used - 1, 0, -1):
             laterals[i - 1] = laterals[i - 1] + upsample_nearest_2x(
                 laterals[i])
         outs = [
-            _conv(self.out_channels, 3, dtype=self.dtype,
-                  name=f'fpn_conv{i}')(laterals[i]) for i in range(used)
+            post_norm(
+                _conv(self.out_channels, 3, dtype=self.dtype,
+                      name=f'fpn_conv{i}')(laterals[i]), f'fpn_norm{i}')
+            for i in range(used)
         ]
 
         extra = self.num_outs - used
@@ -117,3 +130,15 @@ class PAFPN(FPN):
                                 name=f'extra_conv{i}')(src)
                     outs.append(src)
         return tuple(outs)
+
+
+class ChainedNeck(nn.Module):
+    """Apply a sequence of necks (reference supports neck lists, e.g.
+    Libra R-CNN's FPN -> BFP)."""
+    necks: Any
+
+    def __call__(self, inputs, train: bool = False):
+        x = inputs
+        for neck in self.necks:
+            x = neck(x, train)
+        return x

@@ -56,6 +56,9 @@ class Shared4Conv1FCBBoxHead(nn.Module):
     fc_out_channels: int = 1024
     reg_class_agnostic: bool = False
     target_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
+    norm: Any = None  # 'GN' for configs/gn, gn+ws
+    gn_groups: int = 32
+    conv_ws: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -63,11 +66,22 @@ class Shared4Conv1FCBBoxHead(nn.Module):
         lead = roi_feats.shape[:-3]
         x = roi_feats.reshape((-1,) + roi_feats.shape[-3:])
         for i in range(4):
-            x = jax.nn.relu(
-                nn.Conv(self.conv_out_channels, (3, 3), padding='SAME',
-                        use_bias=True, dtype=self.dtype,
-                        kernel_init=nn.initializers.he_normal(),
-                        name=f'shared_conv{i}')(x))
+            if self.conv_ws:
+                from ..plugins import WSConv
+                x = WSConv(self.conv_out_channels, 3, use_bias=self.norm
+                           is None, dtype=self.dtype,
+                           name=f'shared_conv{i}')(x)
+            else:
+                x = nn.Conv(self.conv_out_channels, (3, 3), padding='SAME',
+                            use_bias=self.norm is None, dtype=self.dtype,
+                            kernel_init=nn.initializers.he_normal(),
+                            name=f'shared_conv{i}')(x)
+            if self.norm is not None:
+                from ..plugins import make_norm
+                x = make_norm(self.norm, train, dtype=self.dtype,
+                              name=f'shared_norm{i}',
+                              gn_groups=self.gn_groups)(x)
+            x = jax.nn.relu(x)
         x = x.reshape(lead + (-1,))
         x = jax.nn.relu(
             nn.Dense(self.fc_out_channels, dtype=self.dtype,

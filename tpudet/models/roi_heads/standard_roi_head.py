@@ -40,13 +40,33 @@ class StandardRoIHead(nn.Module):
     neg_iou_thr: float = 0.5
     min_pos_iou: float = 0.5
     target_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
+    # bbox head selection + norm (configs/gn, gn+ws use the 4conv1fc
+    # head with GN/WS)
+    bbox_head_type: str = 'Shared2FCBBoxHead'
+    norm: Any = None
+    gn_groups: int = 32
+    conv_ws: bool = False
+    # negative sampling: 'random' or 'iou_balanced' (Libra R-CNN,
+    # reference iou_balanced_neg_sampler.py)
+    neg_sampling: str = 'random'
+    neg_num_bins: int = 3
+    # bbox regression loss: 'l1' or 'balanced_l1' (Libra R-CNN)
+    loss_bbox_type: str = 'l1'
     dtype: Any = None
 
     def setup(self):
-        self.bbox_head = Shared2FCBBoxHead(
-            num_classes=self.num_classes, in_channels=self.in_channels,
-            roi_feat_size=self.roi_size, target_stds=self.target_stds,
-            dtype=self.dtype)
+        if self.bbox_head_type == 'Shared4Conv1FCBBoxHead':
+            from .bbox_head import Shared4Conv1FCBBoxHead
+            self.bbox_head = Shared4Conv1FCBBoxHead(
+                num_classes=self.num_classes, in_channels=self.in_channels,
+                roi_feat_size=self.roi_size, target_stds=self.target_stds,
+                norm=self.norm, gn_groups=self.gn_groups,
+                conv_ws=self.conv_ws, dtype=self.dtype)
+        else:
+            self.bbox_head = Shared2FCBBoxHead(
+                num_classes=self.num_classes, in_channels=self.in_channels,
+                roi_feat_size=self.roi_size, target_stds=self.target_stds,
+                dtype=self.dtype)
 
     @property
     def bbox_coder(self):
@@ -108,9 +128,44 @@ class StandardRoIHead(nn.Module):
             jnp.where(pos, priority[None], 2.0), axis=1), axis=1)
         pos_keep = pos & (pos_rank < max_pos)
         n_pos = jnp.sum(pos_keep, axis=1, keepdims=True)
-        neg_rank = jnp.argsort(jnp.argsort(
-            jnp.where(neg, priority[None], 2.0), axis=1), axis=1)
-        neg_keep = neg & (neg_rank < s - n_pos)
+        if self.neg_sampling == 'iou_balanced':
+            # Libra R-CNN IoU-balanced negatives (reference
+            # iou_balanced_neg_sampler.py): split [0, neg_iou_thr) into
+            # num_bins, take an equal share per bin, fill any shortfall
+            # from the global negative pool.
+            from ...core.bbox import bbox_overlaps
+
+            def max_iou_one(r, g, gv):
+                ious = bbox_overlaps(r, g)  # (R, G)
+                return jnp.max(
+                    jnp.where(gv[None, :], ious, 0.0), axis=1)
+
+            max_iou = jax.vmap(max_iou_one)(rois, gt_bboxes, gt_valid)
+            n_bins = self.neg_num_bins
+            bin_w = float(neg_thr) / n_bins if float(neg_thr) > 0 else 1.0
+            bin_id = jnp.clip((max_iou / bin_w).astype(jnp.int32), 0,
+                              n_bins - 1)
+            per_bin = (s - n_pos) // n_bins + 1
+            neg_keep = jnp.zeros_like(neg)
+            for bi in range(n_bins):
+                in_bin = neg & (bin_id == bi)
+                rank = jnp.argsort(jnp.argsort(
+                    jnp.where(in_bin, priority[None], 2.0), axis=1), axis=1)
+                neg_keep = neg_keep | (in_bin & (rank < per_bin))
+            # fill shortfall with the remaining highest-priority negatives
+            deficit = (s - n_pos) - jnp.sum(neg_keep, axis=1, keepdims=True)
+            rest = neg & ~neg_keep
+            rest_rank = jnp.argsort(jnp.argsort(
+                jnp.where(rest, priority[None], 2.0), axis=1), axis=1)
+            neg_keep = neg_keep | (rest & (rest_rank < deficit))
+            # trim any overshoot deterministically
+            keep_rank = jnp.argsort(jnp.argsort(
+                jnp.where(neg_keep, priority[None], 2.0), axis=1), axis=1)
+            neg_keep = neg_keep & (keep_rank < s - n_pos)
+        else:
+            neg_rank = jnp.argsort(jnp.argsort(
+                jnp.where(neg, priority[None], 2.0), axis=1), axis=1)
+            neg_keep = neg & (neg_rank < s - n_pos)
         sampled = pos_keep | neg_keep
 
         # gather the sampled rois into a fixed (B, S) slot table:
@@ -149,9 +204,14 @@ class StandardRoIHead(nn.Module):
             cls_idx = jnp.clip(labels, 0, self.num_classes - 1)
             reg = jnp.take_along_axis(
                 reg, cls_idx[..., None, None].repeat(4, -1), axis=2)[:, :, 0]
-        loss_bbox = L.l1_loss(reg, targets,
-                              weight=pos[..., None].astype(jnp.float32),
-                              avg_factor=num_total)
+        if self.loss_bbox_type == 'balanced_l1':
+            loss_bbox = L.balanced_l1_loss(
+                reg, targets, weight=pos[..., None].astype(jnp.float32),
+                avg_factor=num_total)
+        else:
+            loss_bbox = L.l1_loss(reg, targets,
+                                  weight=pos[..., None].astype(jnp.float32),
+                                  avg_factor=num_total)
         return dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
 
     # ------------------------------------------------------------------

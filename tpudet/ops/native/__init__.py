@@ -55,6 +55,10 @@ def load() -> Optional[ctypes.CDLL]:
     lib.match_coco_native.argtypes = [f32p, ctypes.c_int, ctypes.c_int,
                                       f32p, ctypes.c_int, u8p, u8p, i32p]
     lib.match_coco_native.restype = None
+    lib.match_best_only_native.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int, f32p, ctypes.c_int, u8p, u8p,
+        i32p]
+    lib.match_best_only_native.restype = None
     _lib = lib
     return _lib
 
@@ -85,4 +89,20 @@ def match_coco_native(iou_mat: np.ndarray, iou_thrs: np.ndarray,
     d, g = iou.shape
     out = np.empty((len(thrs), d), np.int32)
     lib.match_coco_native(iou, d, g, thrs, len(thrs), ign, crowd, out)
+    return out
+
+
+def match_best_only_native(iou_mat: np.ndarray, iou_thrs: np.ndarray,
+                           is_ignore: np.ndarray,
+                           is_crowd: np.ndarray) -> Optional[np.ndarray]:
+    lib = load()
+    if lib is None:
+        return None
+    iou = np.ascontiguousarray(iou_mat, np.float32)
+    thrs = np.ascontiguousarray(iou_thrs, np.float32)
+    ign = np.ascontiguousarray(is_ignore, np.uint8)
+    crowd = np.ascontiguousarray(is_crowd, np.uint8)
+    d, g = iou.shape
+    out = np.empty((len(thrs), d), np.int32)
+    lib.match_best_only_native(iou, d, g, thrs, len(thrs), ign, crowd, out)
     return out

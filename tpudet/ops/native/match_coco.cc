@@ -78,4 +78,46 @@ void match_coco_native(const float* iou_mat, int num_det, int num_gt,
   }
 }
 
+void match_best_only_native(const float* iou_mat, int num_det, int num_gt,
+                            const float* iou_thrs, int num_thr,
+                            const uint8_t* is_ignore,
+                            const uint8_t* is_crowd,
+                            int32_t* matched /* (num_thr, num_det) */) {
+  // Best-only variant (reference match_best_only.pyx): a det may only
+  // match the regular gt that equals its global-best regular IoU (scan
+  // stops there); ignored gts behave like match_coco.
+  std::vector<uint8_t> gt_taken(num_gt);
+  std::vector<float> best_reg(num_det, -1e30f);
+  for (int d = 0; d < num_det; ++d) {
+    const float* row = iou_mat + (size_t)d * num_gt;
+    for (int g = 0; g < num_gt; ++g) {
+      if (!is_ignore[g] && row[g] > best_reg[d]) best_reg[d] = row[g];
+    }
+  }
+  for (int t = 0; t < num_thr; ++t) {
+    std::fill(gt_taken.begin(), gt_taken.end(), 0);
+    for (int d = 0; d < num_det; ++d) {
+      float thr = iou_thrs[t];
+      int m = -1;
+      const float* row = iou_mat + (size_t)d * num_gt;
+      for (int g = 0; g < num_gt; ++g) {
+        if (gt_taken[g] && !is_crowd[g]) continue;
+        if (m > -1 && !is_ignore[m] && is_ignore[g]) continue;
+        if (row[g] < thr) continue;
+        if (!is_ignore[g]) {
+          if (row[g] == best_reg[d]) {
+            m = g;
+            break;
+          }
+        } else {
+          thr = row[g];
+          m = g;
+        }
+      }
+      if (m != -1 && !is_crowd[m]) gt_taken[m] = 1;
+      matched[(size_t)t * num_det + d] = m;
+    }
+  }
+}
+
 }  // extern "C"

@@ -96,3 +96,14 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
         return None
     with ocp.CheckpointManager(osp.abspath(ckpt_dir)) as mngr:
         return mngr.latest_step()
+
+
+def load_train_state_raw(ckpt_dir: str, step: Optional[int] = None):
+    """Orbax restore WITHOUT an abstract-state template (raw pytree) —
+    used by tools/model_converters/publish_model.py to extract weights
+    from a train-state directory without rebuilding the model."""
+    import orbax.checkpoint as ocp
+    ckpt_dir = osp.abspath(ckpt_dir)
+    with ocp.CheckpointManager(ckpt_dir) as mngr:
+        step = mngr.latest_step() if step is None else step
+        return mngr.restore(step)
