@@ -15,6 +15,12 @@ model = dict(
     train_cfg=dict(),
     test_cfg=dict(
         min_bbox_size=0,
+        # candidate budgets for the padded TPU NMS. The reference runs
+        # uncapped (nms_pre=-1, yolov4l_coco_mosaic.py:14-15); these
+        # budgets are validated exact-equivalent on realistic +
+        # adversarial score distributions by
+        # tools/nms_budget_ablation.py (docs/nms_budget_ablation.json).
+        anchor_pre=2048,
         nms_pre=8192,
         score_thr=0.001,
         nms=dict(type='nms', iou_threshold=0.65),

@@ -167,3 +167,41 @@ def test_iou_balanced_sampler_bins():
     # balanced sampling must include a healthy share of hard negatives;
     # plain random would give ~50% too, but zero/near-zero means broken
     assert near_count >= 8
+
+
+def test_groie_forward():
+    cfg = _shrink_model_cfg(Config.fromfile(
+        'configs/groie/faster_rcnn_r50_fpn_groie_1x_coco.py'))
+    model = build_detector(cfg['model'])
+    img, boxes, labels, valid = _demo()
+    variables = jax.jit(model.init, static_argnames=('method',))(
+        jax.random.PRNGKey(0), img, boxes, labels, valid,
+        method='forward_train')
+    losses, _ = model.apply(variables, img, boxes, labels, valid,
+                            method='forward_train',
+                            mutable=['batch_stats'])
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+
+
+def test_instaboost_transform():
+    from tpudet.data.pipelines import InstaBoost
+    rng = np.random.RandomState(0)
+    img = (rng.rand(80, 100, 3) * 255).astype(np.uint8)
+    boxes = np.array([[20, 20, 50, 60]], np.float32)
+    masks = np.ones((1, 16, 16), np.float32)
+    results = dict(img=img.copy(), gt_bboxes=boxes.copy(),
+                   gt_labels=np.array([0]), gt_frame_masks=masks)
+    tb = InstaBoost(prob=1.0, max_shift_ratio=0.3)
+    np.random.seed(3)
+    out = tb(results)
+    nb = out['gt_bboxes'][0]
+    # same size, moved within bounds
+    assert abs((nb[2] - nb[0]) - 30) < 1e-3
+    assert abs((nb[3] - nb[1]) - 40) < 1e-3
+    assert 0 <= nb[0] and nb[2] <= 100 and 0 <= nb[1] and nb[3] <= 80
+    # no-mask inputs pass through untouched
+    res2 = dict(img=img.copy(), gt_bboxes=boxes.copy(),
+                gt_labels=np.array([0]))
+    out2 = tb(res2)
+    np.testing.assert_array_equal(out2['gt_bboxes'], boxes)

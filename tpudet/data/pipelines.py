@@ -487,3 +487,73 @@ class Corrupt:
         out = corrupt(rgb, self.corruption, self.severity, seed=seed)
         results['img'] = np.ascontiguousarray(out[..., ::-1])
         return results
+
+
+@PIPELINES.register_module()
+class InstaBoost:
+    """Instance-jitter copy-paste augmentation.
+
+    Capability analogue of the reference's InstaBoost wrapper
+    (mmdet/datasets/pipelines/instaboost.py — which delegates to the
+    `instaboostfast` pip package, unavailable here): with probability
+    ``prob``, each instance is cut out along its (box-frame) mask,
+    translated/flipped by a small random offset, and pasted back; the
+    hole is filled with local background. gt boxes move with their
+    instances. Runs BEFORE Resize, on the raw image.
+    """
+
+    def __init__(self, prob=0.5, max_shift_ratio=0.2, flip_prob=0.5,
+                 min_size=8):
+        self.prob = prob
+        self.max_shift_ratio = max_shift_ratio
+        self.flip_prob = flip_prob
+        self.min_size = min_size
+
+    def _paste_one(self, img, box, frame_mask, rng):
+        import cv2
+        h, w = img.shape[:2]
+        x1, y1, x2, y2 = (int(round(v)) for v in box)
+        x1, y1 = max(x1, 0), max(y1, 0)
+        x2, y2 = min(x2, w), min(y2, h)
+        bw, bh = x2 - x1, y2 - y1
+        if bw < self.min_size or bh < self.min_size:
+            return box
+        patch = img[y1:y2, x1:x2].copy()
+        mask = cv2.resize(frame_mask.astype(np.float32), (bw, bh),
+                          interpolation=cv2.INTER_LINEAR) > 0.5
+        dx = int(rng.uniform(-self.max_shift_ratio,
+                             self.max_shift_ratio) * bw)
+        dy = int(rng.uniform(-self.max_shift_ratio,
+                             self.max_shift_ratio) * bh)
+        flip = rng.rand() < self.flip_prob
+        if flip:
+            patch = patch[:, ::-1]
+            mask = mask[:, ::-1]
+        nx1 = int(np.clip(x1 + dx, 0, w - bw))
+        ny1 = int(np.clip(y1 + dy, 0, h - bh))
+        # fill the hole with the local median color (cheap inpaint)
+        region = img[y1:y2, x1:x2]
+        fill = np.median(region.reshape(-1, region.shape[-1]),
+                         axis=0).astype(img.dtype)
+        region[mask] = fill
+        # paste at the new location
+        dst = img[ny1:ny1 + bh, nx1:nx1 + bw]
+        dst[mask] = patch[mask]
+        return np.array([nx1, ny1, nx1 + bw, ny1 + bh], np.float32)
+
+    def __call__(self, results):
+        if 'gt_frame_masks' not in results or \
+                len(results.get('gt_bboxes', ())) == 0:
+            return results
+        rng = np.random
+        img = results['img']
+        boxes = results['gt_bboxes']
+        masks = results['gt_frame_masks']
+        for i in range(len(boxes)):
+            if rng.rand() >= self.prob:
+                continue
+            boxes[i] = self._paste_one(img, boxes[i], masks[i],
+                                       np.random)
+        results['img'] = img
+        results['gt_bboxes'] = boxes
+        return results

@@ -53,9 +53,9 @@ class SingleStageDetector(nn.Module):
             if 'min_score' in nms_cfg:
                 cfg['min_score'] = nms_cfg['min_score']
         cfg.pop('min_bbox_size', None)
-        nms_pre = cfg.pop('nms_pre', -1)
-        if nms_pre and nms_pre > 0:
-            cfg['nms_pre'] = nms_pre
+        if 'nms_pre' in cfg and cfg['nms_pre'] <= 0:
+            # reference nms_pre=-1 == uncapped; head treats <=0 the same
+            cfg['nms_pre'] = 0
         cfg.update(kwargs)
         return self.bbox_head.get_bboxes(pred_maps, **cfg)
 

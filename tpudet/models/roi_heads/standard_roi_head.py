@@ -52,6 +52,10 @@ class StandardRoIHead(nn.Module):
     neg_num_bins: int = 3
     # bbox regression loss: 'l1' or 'balanced_l1' (Libra R-CNN)
     loss_bbox_type: str = 'l1'
+    # roi extractor: 'single' (size-mapped level, SingleRoIExtractor) or
+    # 'generic' (sum over ALL levels + ContextBlock post-processing —
+    # GRoIE, reference configs/groie GenericRoIExtractor)
+    roi_extractor: str = 'single'
     dtype: Any = None
 
     def setup(self):
@@ -76,6 +80,25 @@ class StandardRoIHead(nn.Module):
         """Batched multilevel RoIAlign: feats (tuple of (B,H,W,C)),
         rois (B, P, 4) -> (B, P, s, s, C), s = out_size or roi_size."""
         size = out_size or self.roi_size
+        feats = tuple(feats[:len(self.featmap_strides)])
+
+        if self.roi_extractor == 'generic':
+            # GRoIE: aggregate (sum) RoIAlign from EVERY pyramid level
+            # instead of picking one by roi size (reference
+            # GenericRoIExtractor, configs/groie)
+            from ...ops.roi_align import roi_align
+
+            def one(img_feats, r, v):
+                acc = None
+                for lvl, stride in enumerate(self.featmap_strides):
+                    p = roi_align(img_feats[lvl], r, out_size=size,
+                                  spatial_scale=1.0 / stride)
+                    acc = p if acc is None else acc + p
+                return acc
+
+            pooled = jax.vmap(one)(feats, rois, roi_valid)
+            pooled = pooled * roi_valid[..., None, None, None]
+            return pooled
 
         def one(img_feats, r, v):
             return multilevel_roi_align(
@@ -83,8 +106,7 @@ class StandardRoIHead(nn.Module):
                 strides=self.featmap_strides)
 
         # vmap over the batch axis of every pyramid level simultaneously
-        return jax.vmap(one)(tuple(feats[:len(self.featmap_strides)]),
-                             rois, roi_valid)
+        return jax.vmap(one)(feats, rois, roi_valid)
 
     def __call__(self, feats, rois, roi_valid, train: bool = False):
         """Pool + bbox head forward: (B, P, C+1), (B, P, 4C)."""
