@@ -6,5 +6,8 @@ model = dict(
                   output_img=True),
     neck=dict(_delete_=True, type='RFP',
               in_channels=[256, 512, 1024, 2048], out_channels=256,
-              num_outs=5, rfp_steps=2),
+              num_outs=5, rfp_steps=2,
+              # recursive backbone (reference detectors_htc_r50:15-27)
+              rfp_backbone=dict(type='DetectoRSResNet', depth=50,
+                                rfp_inplanes=256)),
 )

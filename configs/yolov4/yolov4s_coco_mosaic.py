@@ -15,13 +15,21 @@ model = dict(
     train_cfg=dict(),
     test_cfg=dict(
         min_bbox_size=0,
-        # candidate budgets for the padded TPU NMS. The reference runs
-        # uncapped (nms_pre=-1, yolov4l_coco_mosaic.py:14-15); these
-        # budgets are validated exact-equivalent on realistic +
-        # adversarial score distributions by
-        # tools/nms_budget_ablation.py (docs/nms_budget_ablation.json).
+        # Candidate budgets for the padded TPU NMS. The reference runs
+        # uncapped (nms_pre=-1, yolov4l_coco_mosaic.py:14-15); tpudet's
+        # shipped default is a PER-CLASS budget (class_pre, see
+        # core/nms.py::class_sorted_nms) — a candidate is only lost if
+        # 256 same-class higher-scored candidates outrank it, far
+        # tighter than the global flat nms_pre cap, and measured faster
+        # (662 vs 614 img/s/chip yolov4l-640 b128,
+        # tools/nms_path_bench.py). Exact uncapped semantics remain
+        # available via class_pre=0, nms_pre=-1
+        # (core/nms.py::dense_class_nms, 287 img/s). Deltas vs exact on
+        # realistic + adversarial score distributions:
+        # tools/nms_budget_ablation.py -> docs/nms_budget_ablation.json.
         anchor_pre=2048,
-        nms_pre=8192,
+        nms_pre=-1,
+        class_pre=256,
         score_thr=0.001,
         nms=dict(type='nms', iou_threshold=0.65),
         max_per_img=300),

@@ -210,6 +210,22 @@ def test_ghm_c_parity():
     np.testing.assert_allclose(mine, float(ref), atol=1e-5, rtol=1e-4)
 
 
+def test_ghm_r_parity():
+    import torch
+    losses = refbridge.ref_import('mmdet.models.losses')
+    from tpudet.models import losses as L
+    n = 200
+    pred = RNG.randn(n, 4).astype(np.float32)
+    target = (RNG.randn(n, 4) * 0.5).astype(np.float32)
+    label_weight = (RNG.rand(n, 4) < 0.7).astype(np.float32)
+    ref_loss = losses.GHMR(mu=0.02, bins=10, momentum=0.0, loss_weight=10.0)
+    ref = ref_loss(torch.from_numpy(pred), torch.from_numpy(target),
+                   torch.from_numpy(label_weight))
+    mine = np.asarray(L.ghm_r_loss(pred, target, label_weight=label_weight,
+                                   mu=0.02, bins=10, loss_weight=10.0))
+    np.testing.assert_allclose(mine, float(ref), atol=1e-5, rtol=1e-4)
+
+
 def test_gaussian_focal_parity():
     import torch
     losses = refbridge.ref_import('mmdet.models.losses')

@@ -59,7 +59,11 @@ def test_darknet_csp_backbone_parity(scale):
 
     from tpudet.models.backbones.darknet_csp import DarknetCSP
     out_indices = (3, 4, 5) if scale.startswith('v4') else (2, 3, 4)
-    mine = DarknetCSP(scale=scale, out_indices=out_indices)
+    # pin the STANDARD stem against torch; the space-to-depth stem is
+    # proven equivalent to it separately (tests/test_models/test_s2d_stem)
+    # and its fp32 reassociation noise would otherwise eat this tolerance
+    mine = DarknetCSP(scale=scale, out_indices=out_indices,
+                      space_to_depth_stem=False)
     x_nhwc = np.transpose(x, (0, 2, 3, 1))
     variables = _convert(mine, (x_nhwc,), ref,
                          lambda m: m(torch.from_numpy(x)))

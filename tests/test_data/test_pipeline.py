@@ -152,6 +152,24 @@ def test_loader_padded_batches(tiny_coco):
     assert len(idx0 | idx1) == 6
 
 
+def test_loader_propagates_worker_exception(tiny_coco):
+    """A crashing pipeline must raise in the consumer, not deadlock the
+    training loop on q.get (the prefetch worker is a daemon thread)."""
+    import pytest
+
+    ann_file, root = tiny_coco
+    pipeline = [
+        dict(type='LoadImageFromFile'),
+        dict(type='LoadAnnotations', with_bbox=True),
+        dict(type='Resize', img_scale=(64, 64), keep_ratio=True),
+    ]
+    ds = CocoDataset(ann_file, pipeline, img_prefix=root)
+    # canvas smaller than the pipeline output -> collate broadcast error
+    loader = DetDataLoader(ds, batch_size=2, max_gts=10, img_size=16)
+    with pytest.raises(ValueError):
+        list(loader)
+
+
 def test_gt_bboxes_filter():
     f = GtBBoxesFilter(min_size=2, max_aspect_ratio=20)
     results = dict(

@@ -68,3 +68,53 @@ def test_ghm_c_runs():
     target = jnp.asarray((rng.rand(32, 4) > 0.8).astype(np.float32))
     loss = L.ghm_c_loss(pred, target)
     assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+def _ghm_r_oracle(pred, target, label_weight, mu=0.02, bins=10,
+                  loss_weight=1.0):
+    """Numpy re-derivation of the reference GHMR forward loop
+    (ghm_loss.py:125-170, momentum=0)."""
+    edges = np.arange(bins + 1, dtype=np.float64) / bins
+    edges[-1] = 1e3
+    diff = pred - target
+    loss = np.sqrt(diff * diff + mu * mu) - mu
+    g = np.abs(diff / np.sqrt(mu * mu + diff * diff))
+    weights = np.zeros_like(g)
+    valid = label_weight > 0
+    tot = max(label_weight.sum(), 1.0)
+    n = 0
+    for i in range(bins):
+        inds = (g >= edges[i]) & (g < edges[i + 1]) & valid
+        num_in_bin = inds.sum()
+        if num_in_bin > 0:
+            n += 1
+            weights[inds] = tot / num_in_bin
+    if n > 0:
+        weights /= n
+    return loss_weight * (loss * weights).sum() / tot
+
+
+def test_ghm_r_matches_reference_loop():
+    rng = np.random.RandomState(0)
+    pred = rng.randn(64, 4).astype(np.float32)
+    target = rng.randn(64, 4).astype(np.float32) * 0.5
+    lw = (rng.rand(64, 4) > 0.3).astype(np.float32)
+    want = _ghm_r_oracle(pred.astype(np.float64), target.astype(np.float64),
+                         lw.astype(np.float64), loss_weight=10.0)
+    got = float(L.ghm_r_loss(jnp.asarray(pred), jnp.asarray(target),
+                             jnp.asarray(lw), loss_weight=10.0))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_ghm_r_all_invalid_is_finite():
+    pred = jnp.zeros((8, 4))
+    got = float(L.ghm_r_loss(pred, pred, jnp.zeros((8, 4))))
+    assert np.isfinite(got) and got == 0.0
+
+
+def test_ghm_r_gradient_finite():
+    rng = np.random.RandomState(1)
+    pred = jnp.asarray(rng.randn(16, 4).astype(np.float32))
+    target = jnp.asarray(rng.randn(16, 4).astype(np.float32))
+    g = jax.grad(lambda p: L.ghm_r_loss(p, target))(pred)
+    assert np.isfinite(np.asarray(g)).all()

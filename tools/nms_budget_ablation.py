@@ -69,13 +69,17 @@ def synth_candidates(num_anchors, num_classes, num_objects=40, seed=0,
 
 
 def run_ablation(num_anchors=25200, num_classes=80, score_thr=0.001,
-                 iou_thr=0.65, max_per_img=300, budgets=((1024, 8192),
-                                                        (2048, 8192),
-                                                        (4096, 16384)),
+                 iou_thr=0.65, max_per_img=300,
+                 budgets=((1024, 8192, 0),
+                          (2048, 8192, 0),
+                          (4096, 16384, 0),
+                          (2048, 0, 256),  # shipped default (yolov4s/l)
+                          (2048, 0, 300),
+                          (0, 0, 256)),
                  seeds=(0, 1, 2), adversarial=(False, True)):
     import jax.numpy as jnp
 
-    from tpudet.core.nms import batched_nms
+    from tpudet.core.nms import batched_class_sorted_nms, batched_nms
 
     def exact_numpy(boxes, conf, cls):
         """Exact uncapped reference: host greedy class-offset NMS over
@@ -114,8 +118,8 @@ def run_ablation(num_anchors=25200, num_classes=80, score_thr=0.001,
             [b[keep], s[keep, None], c_idx[keep, None].astype(np.float32)],
             -1)
 
-    def detections(boxes, conf, cls, anchor_pre, nms_pre):
-        if not anchor_pre and not nms_pre:
+    def detections(boxes, conf, cls, anchor_pre, nms_pre, class_pre=0):
+        if not anchor_pre and not nms_pre and not class_pre:
             return exact_numpy(boxes, conf, cls)
         b = jnp.asarray(boxes)[None]
         cf = jnp.asarray(conf)[None]
@@ -127,10 +131,16 @@ def run_ablation(num_anchors=25200, num_classes=80, score_thr=0.001,
             cf = top_conf
             cl = jnp.take_along_axis(cl, top_idx[..., None], axis=1)
         scores = cl * cf[..., None]
-        total = scores.shape[1] * scores.shape[2]
-        k = total if not nms_pre or nms_pre <= 0 else min(nms_pre, total)
-        res = batched_nms(b, scores, score_thr, iou_thr, max_per_img,
-                          nms_pre=k)
+        if class_pre:
+            # shipped fast path: per-class candidate budget
+            # (core/nms.py::class_sorted_nms)
+            res = batched_class_sorted_nms(b, scores, score_thr, iou_thr,
+                                           max_per_img, class_pre=class_pre)
+        else:
+            total = scores.shape[1] * scores.shape[2]
+            k = total if not nms_pre or nms_pre <= 0 else min(nms_pre, total)
+            res = batched_nms(b, scores, score_thr, iou_thr, max_per_img,
+                              nms_pre=k)
         valid = np.asarray(res.valid)[0]
         out = np.concatenate(
             [np.asarray(res.bboxes)[0], np.asarray(res.scores)[0][:, None],
@@ -172,10 +182,12 @@ def run_ablation(num_anchors=25200, num_classes=80, score_thr=0.001,
                     'exact_min_score': float(exact[:, 4].min())
                     if len(exact) else None,
                     'budgets': {}}
-            for (a_pre, n_pre) in budgets:
-                capped = detections(boxes, conf, cls, a_pre, n_pre)
+            for (a_pre, n_pre, c_pre) in budgets:
+                capped = detections(boxes, conf, cls, a_pre, n_pre, c_pre)
                 missing = match_sets(exact, capped)
-                case['budgets'][f'anchor{a_pre}_nms{n_pre}'] = {
+                tag = (f'anchor{a_pre}_class{c_pre}' if c_pre
+                       else f'anchor{a_pre}_nms{n_pre}')
+                case['budgets'][tag] = {
                     'num_dets': int(len(capped)),
                     'missing_dets': len(missing),
                     'max_missing_score': max(missing) if missing else 0.0,

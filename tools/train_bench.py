@@ -19,6 +19,10 @@ def main():
     p.add_argument('--max-gts', type=int, default=64)
     p.add_argument('--dtype', default='bfloat16',
                    choices=['bfloat16', 'float32'])
+    p.add_argument('--donate', action='store_true',
+                   help='donate the train state into the jitted step '
+                        '(production default; measured SLOWER on the '
+                        'remote-PJRT tunnel backend, so off here)')
     p.add_argument('--device-aug', action='store_true',
                    help='include the fused on-device mosaic/affine/HSV '
                         'augmentation in the step (uint8 tiles in)')
@@ -83,7 +87,7 @@ def main():
         )
     step_fn = jit_train_step(
         make_train_step(model, opt_cfg, loss_fn=loss_fn), mesh,
-        donate_state=False)
+        donate_state=args.donate)
     state = replicate(state, mesh)
     batch = shard_batch(batch, mesh)
 

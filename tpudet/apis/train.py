@@ -112,6 +112,16 @@ def train_detector(cfg: Config,
             process_index=jax.process_index(),
             process_count=jax.process_count())
     steps_per_epoch = len(loader)
+    if steps_per_epoch == 0:
+        # fail loudly: a silently-empty loader (dataset smaller than the
+        # global batch, or classes filtering every annotation away) would
+        # otherwise spin the epoch loop doing eval-only passes forever
+        raise ValueError(
+            f'training loader yields 0 steps/epoch: dataset has '
+            f'{len(dataset)} samples but the global batch is '
+            f'{global_batch * accumulation} (samples_per_gpu x devices x '
+            f'accumulation). Shrink the batch/accumulation or check that '
+            f'`classes` matches the annotation categories.')
     total_steps = steps_per_epoch * max_epochs
     if max_steps is not None:
         total_steps = min(total_steps, max_steps)

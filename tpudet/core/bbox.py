@@ -78,14 +78,18 @@ class DeltaXYWHBBoxCoder:
         self.ctr_clamp = ctr_clamp
 
     def encode(self, bboxes, gt_bboxes):
+        # eps-clamp: padded/degenerate rows (zero-size proposals or the
+        # all-zero gt padding slots) flow through encode under static
+        # shapes; log(0/0) would poison the loss through 0-weight * NaN
+        # even though those rows are masked. No effect on real boxes.
         px = (bboxes[..., 0] + bboxes[..., 2]) * 0.5
         py = (bboxes[..., 1] + bboxes[..., 3]) * 0.5
-        pw = bboxes[..., 2] - bboxes[..., 0]
-        ph = bboxes[..., 3] - bboxes[..., 1]
+        pw = jnp.maximum(bboxes[..., 2] - bboxes[..., 0], 1e-6)
+        ph = jnp.maximum(bboxes[..., 3] - bboxes[..., 1], 1e-6)
         gx = (gt_bboxes[..., 0] + gt_bboxes[..., 2]) * 0.5
         gy = (gt_bboxes[..., 1] + gt_bboxes[..., 3]) * 0.5
-        gw = gt_bboxes[..., 2] - gt_bboxes[..., 0]
-        gh = gt_bboxes[..., 3] - gt_bboxes[..., 1]
+        gw = jnp.maximum(gt_bboxes[..., 2] - gt_bboxes[..., 0], 1e-6)
+        gh = jnp.maximum(gt_bboxes[..., 3] - gt_bboxes[..., 1], 1e-6)
         dx = (gx - px) / pw
         dy = (gy - py) / ph
         dw = jnp.log(gw / pw)
@@ -154,15 +158,22 @@ class YOLOBBoxCoder:
 
     @staticmethod
     def decode(bboxes, pred_bboxes, stride):
-        """pred xy already sigmoided to (0,1); wh raw log-scale."""
+        """pred xy already sigmoided to (0,1); wh raw log-scale.
+
+        The log-scale is clamped at ±8 before exp (a 2981x anchor-size
+        ratio, far beyond any trained prediction — the reference decodes
+        unclamped, yolo_bbox_coder.py:48-49). Unlike torch, an inf here
+        is not benign: inf corners make NaN IoUs inside the jitted NMS,
+        and NaN comparisons silently corrupt the keep set. Only garbage
+        (untrained / diverged) predictions are affected."""
         x_c = (bboxes[..., 0] + bboxes[..., 2]) * 0.5
         y_c = (bboxes[..., 1] + bboxes[..., 3]) * 0.5
         w = bboxes[..., 2] - bboxes[..., 0]
         h = bboxes[..., 3] - bboxes[..., 1]
         xp = (pred_bboxes[..., 0] - 0.5) * stride + x_c
         yp = (pred_bboxes[..., 1] - 0.5) * stride + y_c
-        wp = jnp.exp(pred_bboxes[..., 2]) * w
-        hp = jnp.exp(pred_bboxes[..., 3]) * h
+        wp = jnp.exp(jnp.clip(pred_bboxes[..., 2], None, 8.0)) * w
+        hp = jnp.exp(jnp.clip(pred_bboxes[..., 3], None, 8.0)) * h
         return jnp.stack((xp - wp / 2, yp - hp / 2, xp + wp / 2,
                           yp + hp / 2), axis=-1)
 
@@ -180,8 +191,10 @@ class TBLRBBoxCoder:
     def encode(self, bboxes, gt_bboxes):
         cx = (bboxes[..., 0] + bboxes[..., 2]) * 0.5
         cy = (bboxes[..., 1] + bboxes[..., 3]) * 0.5
-        w = bboxes[..., 2] - bboxes[..., 0]
-        h = bboxes[..., 3] - bboxes[..., 1]
+        # eps-clamp as in DeltaXYWHBBoxCoder.encode: padded rows must not
+        # produce inf/NaN that leak through 0-weight multiplies.
+        w = jnp.maximum(bboxes[..., 2] - bboxes[..., 0], 1e-6)
+        h = jnp.maximum(bboxes[..., 3] - bboxes[..., 1], 1e-6)
         t = cy - gt_bboxes[..., 1]
         b = gt_bboxes[..., 3] - cy
         l = cx - gt_bboxes[..., 0]

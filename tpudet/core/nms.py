@@ -40,18 +40,28 @@ APPROX_TOPK_MIN_SIZE = 16384
 
 def topk_scores(masked_scores: jax.Array, k: int):
     """(vals, idx) top-k by score; exact for small inputs; for large
-    ones the selection runs on bf16 keys (half the sort bandwidth) via
-    the TPU-native approx_max_k (recall_target=0.99), and the returned
-    values are the ORIGINAL dtype's, re-gathered by index. Selection
-    differences are confined to candidates tied within bf16 resolution
-    at the k-th score — the detection score floor."""
+    ones the selection runs via the TPU-native approx_max_k
+    (recall_target=0.99) on the ORIGINAL dtype keys, so returned values
+    are exact — only membership of the tail of the ranking (candidates
+    near the k-th score, the detection score floor) can differ from
+    exact top-k. Earlier revisions used bf16 keys plus an fp32
+    re-gather; the 8192-wide take_along_axis gather lowered to 25 ms at
+    batch 128 on TPU, dwarfing the 4 ms the bf16 keys saved, so fp32
+    keys win on both speed and fidelity."""
     n = masked_scores.shape[-1]
     if n > APPROX_TOPK_MIN_SIZE and k < n:
-        _, idx = jax.lax.approx_max_k(
-            masked_scores.astype(jnp.bfloat16), k, recall_target=0.99)
-        vals = jnp.take_along_axis(masked_scores, idx, axis=-1)
-        return vals, idx
+        return jax.lax.approx_max_k(masked_scores, k, recall_target=0.99)
     return jax.lax.top_k(masked_scores, k)
+
+
+# Above this candidate count, `nms_padded` switches from the K x K
+# fixed-point form to the blocked early-exit form (`nms_blocked`): the
+# K x K suppression matrix is O(K^2) build work + O(K^2) HBM per sweep
+# (at K=8192 that is 67M IoUs and a 64MB bool buffer per image), while
+# greedy NMS only needs keep decisions until `max_out` detections have
+# accumulated — which on real score distributions happens within the
+# first couple thousand candidates.
+BLOCKED_NMS_MIN_SIZE = 1536
 
 
 class NMSResult(NamedTuple):
@@ -102,6 +112,140 @@ def nms_padded_scan(boxes: jax.Array,
     return keep_idx, keep_valid
 
 
+def _iou_block(bb, ba, other_boxes, other_area, eps=1e-6):
+    """IoU of a (B, 4) block against (M, 4) boxes -> (B, M).
+
+    Shared by the fixed-point and blocked forms so suppression decisions
+    are bit-identical across all three NMS implementations.
+    """
+    lt = jnp.maximum(bb[:, None, :2], other_boxes[None, :, :2])
+    rb = jnp.minimum(bb[:, None, 2:], other_boxes[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    return inter / jnp.maximum(ba[:, None] + other_area[None, :] - inter,
+                               eps)
+
+
+def nms_blocked(boxes: jax.Array,
+                scores: jax.Array,
+                iou_threshold: float,
+                max_out: int,
+                valid: Optional[jax.Array] = None,
+                block: int = 512,
+                return_dets: bool = False):
+    """Greedy hard-NMS — blocked early-exit form, exact.
+
+    Greedy suppression only ever flows from kept higher-scored boxes to
+    lower-scored ones, and the output is truncated at ``max_out`` keeps,
+    so candidates ranked below the ``max_out``-th keep are irrelevant.
+    This form walks score-sorted blocks of ``block`` candidates inside a
+    ``lax.while_loop``:
+
+      1. suppress the block by the <= max_out boxes kept so far
+         ((block, max_out) IoU),
+      2. resolve intra-block suppression chains with the same Jacobi
+         fixed-point sweep as `nms_padded` ((block, block) IoU),
+      3. compact the block's keeps into the kept buffer (cumsum
+         positions + scatter),
+
+    and exits as soon as ``max_out`` keeps have accumulated or the
+    remaining candidates are all padding. Per-image work is
+    O(blocks_needed * block * (block + max_out)) instead of O(K^2) —
+    at K=8192 / max_out=300 on real detections that is ~40x fewer IoUs
+    and no K x K buffer. Results are exactly the greedy solution
+    (tested against `nms_padded_scan`). Boxes beyond the ``max_out``-th
+    keep that land in the final block are dropped by the scatter, which
+    is sound because the loop exits before they could suppress anyone.
+    """
+    k = boxes.shape[0]
+    vmask = jnp.ones((k,), dtype=bool) if valid is None else valid
+    masked_scores = jnp.where(vmask, scores, NEG_INF)
+    # ONE variadic sort carries the coordinates and original index along
+    # with the score key — a row gather by the sorted order
+    # (boxes[order]) lowers to a sequential per-index loop on TPU and
+    # measured 11x slower than sorting the payload columns in-key.
+    # lax.sort is stable and ascending, so negate the key: ties keep
+    # original index order, matching lax.top_k.
+    neg_s, sx1, sy1, sx2, sy2, sidx = jax.lax.sort(
+        (-masked_scores, boxes[:, 0], boxes[:, 1], boxes[:, 2],
+         boxes[:, 3], jnp.arange(k, dtype=jnp.int32)),
+        dimension=-1, num_keys=1)
+    svals = -neg_s
+    sboxes = jnp.stack([sx1, sy1, sx2, sy2], axis=-1)
+    svalid = svals > NEG_INF / 2
+
+    nb = -(-k // block)
+    pad = nb * block - k
+    blocks_boxes = jnp.pad(sboxes, ((0, pad), (0, 0))).reshape(nb, block, 4)
+    blocks_valid = jnp.pad(svalid, (0, pad)).reshape(nb, block)
+    blocks_idx = jnp.pad(sidx, (0, pad)).reshape(nb, block)
+    blocks_scores = jnp.pad(svals, (0, pad)).reshape(nb, block)
+
+    local_rank = jnp.arange(block)
+    tri = local_rank[None, :] < local_rank[:, None]  # suppressor j < i
+    out_slots = jnp.arange(max_out)
+
+    def in_block_greedy(bb, ba, alive0):
+        iou = _iou_block(bb, ba, bb, ba)
+        mat = (iou > iou_threshold) & tri
+
+        def cond(s):
+            return s[1]
+
+        def body(s):
+            keep, _ = s
+            new = alive0 & ~jnp.any(mat & keep[None, :], axis=1)
+            return new, jnp.any(new != keep)
+
+        keep, _ = jax.lax.while_loop(cond, body, (alive0, jnp.bool_(True)))
+        return keep
+
+    def cond(state):
+        bi, count = state[0], state[1]
+        # sorted order => if a block's first candidate is padding, all
+        # remaining candidates are padding (index clamp keeps the read
+        # in bounds on the final iteration where bi == nb).
+        more = blocks_valid[jnp.minimum(bi, nb - 1), 0]
+        return (bi < nb) & (count < max_out) & more
+
+    def body(state):
+        bi, count, kept_boxes, kept_area, kept_scores, kept_idx = state
+        bb = blocks_boxes[bi]
+        bv = blocks_valid[bi]
+        ba = (bb[:, 2] - bb[:, 0]) * (bb[:, 3] - bb[:, 1])
+        kvalid = out_slots < count
+        iou_kept = _iou_block(bb, ba, kept_boxes, kept_area)
+        suppressed = jnp.any((iou_kept > iou_threshold) & kvalid[None, :],
+                             axis=1)
+        keep = in_block_greedy(bb, ba, bv & ~suppressed)
+
+        pos = count + jnp.cumsum(keep) - 1
+        wpos = jnp.where(keep & (pos < max_out), pos, max_out)
+        kept_boxes = kept_boxes.at[wpos].set(bb, mode='drop')
+        kept_area = kept_area.at[wpos].set(ba, mode='drop')
+        kept_scores = kept_scores.at[wpos].set(blocks_scores[bi],
+                                               mode='drop')
+        kept_idx = kept_idx.at[wpos].set(blocks_idx[bi], mode='drop')
+        return (bi + 1, count + jnp.sum(keep, dtype=jnp.int32), kept_boxes,
+                kept_area, kept_scores, kept_idx)
+
+    init = (jnp.int32(0), jnp.int32(0),
+            jnp.zeros((max_out, 4), boxes.dtype),
+            jnp.zeros((max_out,), boxes.dtype),
+            jnp.zeros((max_out,), scores.dtype),
+            jnp.zeros((max_out,), jnp.int32))
+    _, count, kept_boxes, _, kept_scores, kept_idx = jax.lax.while_loop(
+        cond, body, init)
+
+    keep_valid = out_slots < jnp.minimum(count, max_out)
+    keep_idx = jnp.where(keep_valid, kept_idx, 0)
+    if return_dets:
+        return (jnp.where(keep_valid[:, None], kept_boxes, 0.),
+                jnp.where(keep_valid, kept_scores, 0.),
+                keep_idx, keep_valid)
+    return keep_idx, keep_valid
+
+
 def nms_padded(boxes: jax.Array,
                scores: jax.Array,
                iou_threshold: float,
@@ -135,10 +279,19 @@ def nms_padded(boxes: jax.Array,
         keep_valid: (max_out,) bool, False once candidates are exhausted.
     """
     k = boxes.shape[0]
+    if k > BLOCKED_NMS_MIN_SIZE and max_out < k:
+        return nms_blocked(boxes, scores, iou_threshold, max_out, valid)
     vmask = jnp.ones((k,), dtype=bool) if valid is None else valid
     masked_scores = jnp.where(vmask, scores, NEG_INF)
-    svals, order = jax.lax.top_k(masked_scores, k)  # score-desc candidates
-    sboxes = boxes[order]
+    # variadic sort carries coordinates + original index with the score
+    # key (stable, so ties keep original index order like lax.top_k);
+    # see nms_blocked for why this beats a boxes[order] row gather.
+    neg_s, sx1, sy1, sx2, sy2, order = jax.lax.sort(
+        (-masked_scores, boxes[:, 0], boxes[:, 1], boxes[:, 2],
+         boxes[:, 3], jnp.arange(k, dtype=jnp.int32)),
+        dimension=-1, num_keys=1)
+    svals = -neg_s
+    sboxes = jnp.stack([sx1, sy1, sx2, sy2], axis=-1)
     svalid = svals > NEG_INF / 2
 
     # precompute the strictly-upper suppression matrix ONCE:
@@ -312,6 +465,175 @@ def multiclass_nms(bboxes: jax.Array,
     det_bboxes = jnp.where(keep_valid[:, None], cand_boxes[keep_idx], 0.)
     det_labels = jnp.where(keep_valid, labels[keep_idx], -1)
     return NMSResult(det_bboxes, det_scores, det_labels, keep_valid)
+
+
+def dense_class_nms(bboxes: jax.Array,
+                    scores: jax.Array,
+                    score_thr: float,
+                    iou_thr: float,
+                    max_per_img: int,
+                    valid: Optional[jax.Array] = None) -> NMSResult:
+    """Exact UNCAPPED class-aware NMS on the dense (N, C) score grid.
+
+    Implements the reference ``multiclass_nms`` with ``nms_pre=-1``
+    semantics (configs/yolov4/yolov4l_coco_mosaic.py:14-15: every
+    (box, class) pair above ``score_thr`` competes, per class): each
+    class column runs an independent blocked greedy NMS directly on the
+    shared box table, kept detections merge across classes, and the top
+    ``max_per_img`` by score are returned.
+
+    Why this beats flatten-then-select on TPU: the (N*C,) flattened
+    formulation needs a top-``nms_pre`` selection with *indices* over
+    ~164k candidates plus an 8k-wide index gather of box rows — measured
+    37 ms + 12 ms at batch 128 — while per-class NMS needs neither: the
+    per-class variadic sort carries the coordinates in-key, suppression
+    is intra-class by construction (no class-offset trick), and the
+    blocked early exit stops at ``max_per_img`` keeps per class. A class
+    can contribute at most ``max_per_img`` detections to the final
+    ``max_per_img``, so the per-class keep cap is exact.
+
+    Args:
+        bboxes: (N, 4) decoded boxes shared across classes.
+        scores: (N, C) per-class scores WITHOUT a background column.
+        valid: optional (N,) bool mask of real boxes.
+
+    Returns:
+        NMSResult with (max_per_img,)-shaped padded outputs.
+    """
+    n, num_classes = scores.shape
+
+    def one_class(cls_scores):
+        v = cls_scores > score_thr
+        if valid is not None:
+            v &= valid
+        # block=128: the in-block suppression matrix lives per
+        # (image, class) lane under the batch x class vmap, so the
+        # footprint is B * C * block^2 — 512 (the single-lane default)
+        # OOMs at batch 128 x 80 classes (21 GB); 128 keeps the whole
+        # working set under ~200 MB and trades it for more (cheap,
+        # early-exiting) while_loop trips.
+        return nms_blocked(bboxes, cls_scores, iou_thr, max_per_img,
+                           valid=v, block=128, return_dets=True)
+
+    # (C, max_per_img, ...) per-class keeps
+    kb, ks, _, kv = jax.vmap(one_class)(scores.T)
+
+    # merge across classes: top max_per_img by score. The kept buffers
+    # are small (C * max_per_img), so a variadic sort again beats a
+    # top_k + row gather.
+    flat_s = jnp.where(kv, ks, NEG_INF).reshape(-1)
+    flat_b = kb.reshape(-1, 4)
+    flat_l = jnp.broadcast_to(
+        jnp.arange(num_classes, dtype=jnp.int32)[:, None],
+        (num_classes, max_per_img)).reshape(-1)
+    neg_s, x1, y1, x2, y2, lbl = jax.lax.sort(
+        (-flat_s, flat_b[:, 0], flat_b[:, 1], flat_b[:, 2], flat_b[:, 3],
+         flat_l), dimension=-1, num_keys=1)
+    top_s = -neg_s[:max_per_img]
+    det_valid = top_s > NEG_INF / 2
+    det_boxes = jnp.stack([x1, y1, x2, y2], axis=-1)[:max_per_img]
+    det_labels = lbl[:max_per_img]
+    return NMSResult(jnp.where(det_valid[:, None], det_boxes, 0.),
+                     jnp.where(det_valid, top_s, 0.),
+                     jnp.where(det_valid, det_labels, -1), det_valid)
+
+
+def batched_dense_class_nms(bboxes, scores, score_thr, iou_thr, max_per_img,
+                            valid=None) -> NMSResult:
+    """`dense_class_nms` vmapped over a leading batch axis."""
+    fn = partial(dense_class_nms, score_thr=score_thr, iou_thr=iou_thr,
+                 max_per_img=max_per_img)
+    if valid is None:
+        return jax.vmap(lambda b, s: fn(b, s))(bboxes, scores)
+    return jax.vmap(lambda b, s, v: fn(b, s, valid=v))(bboxes, scores, valid)
+
+
+def class_sorted_nms(bboxes: jax.Array,
+                     scores: jax.Array,
+                     score_thr: float,
+                     iou_thr: float,
+                     max_per_img: int,
+                     class_pre: int = 256,
+                     valid: Optional[jax.Array] = None) -> NMSResult:
+    """Class-aware NMS with a PER-CLASS candidate budget — the fast capped
+    path for dense (N, C) score grids.
+
+    Same joint-greedy semantics as reference ``multiclass_nms``
+    (bbox_nms.py:7), but the candidate cap is per class (top ``class_pre``
+    of each class column) instead of global-flat (``nms_pre`` over N*C
+    pairs). Every step is sort-shaped, which is what TPUs are good at:
+
+      1. one variadic per-class sort of the score columns that carries
+         the box coordinates in-key (no index gather),
+      2. slice the top ``class_pre`` rows per class,
+      3. class-offset the coordinates (labels are just the row index —
+         computed, not gathered),
+      4. one exact blocked greedy NMS over the C*class_pre flattened
+         candidates (`nms_blocked`, early exit at ``max_per_img``).
+
+    The flat-selection formulation this replaces spent 37 ms producing
+    top-8192 *indices* over 164k flattened pairs plus 12 ms gathering box
+    rows by those indices (batch 128, yolov4l-640); the per-class sort
+    route measures ~20 ms end-to-end and its per-class budget cannot
+    starve rare classes the way a global cap can. Suppression decisions
+    on the kept set are exact greedy (same `nms_blocked` core as every
+    other path). A candidate missed by this cap must rank below
+    ``class_pre`` same-class higher-scored candidates — see
+    tools/nms_budget_ablation.py for the empirical exact-vs-capped
+    deltas.
+
+    Args:
+        bboxes: (N, 4) decoded boxes shared across classes.
+        scores: (N, C) per-class scores WITHOUT a background column.
+        class_pre: per-class candidate budget (top-k per class column).
+        valid: optional (N,) bool mask of real boxes.
+    """
+    n, num_classes = scores.shape
+    p = min(class_pre, n)
+    st = scores.T  # (C, N)
+    v = st > score_thr
+    if valid is not None:
+        v &= valid[None, :]
+    masked = jnp.where(v, st, NEG_INF)
+    bb = jnp.broadcast_to(bboxes[None], (num_classes, n, 4))
+    neg_s, x1, y1, x2, y2 = jax.lax.sort(
+        (-masked, bb[..., 0], bb[..., 1], bb[..., 2], bb[..., 3]),
+        dimension=-1, num_keys=1)
+    svals = -neg_s[:, :p]  # (C, P) per-class descending
+    cand_boxes = jnp.stack(
+        [x1[:, :p], y1[:, :p], x2[:, :p], y2[:, :p]], axis=-1)
+    cand_valid = svals > NEG_INF / 2
+
+    flat_scores = svals.reshape(-1)
+    flat_boxes = cand_boxes.reshape(-1, 4)
+    flat_valid = cand_valid.reshape(-1)
+    labels = (jnp.arange(num_classes * p, dtype=jnp.int32) // p)
+
+    # class-aware via coordinate offset (mmcv batched_nms trick,
+    # bbox_nms.py:84): different-class boxes can never overlap
+    max_coord = jnp.max(jnp.where(flat_valid[:, None], flat_boxes, 0.))
+    offs = labels.astype(flat_boxes.dtype) * (max_coord + 1.)
+    off_boxes = flat_boxes + offs[:, None]
+
+    det_off_boxes, det_scores, keep_idx, keep_valid = nms_blocked(
+        off_boxes, flat_scores, iou_thr, max_per_img, valid=flat_valid,
+        return_dets=True)
+    det_labels = jnp.where(keep_valid, keep_idx // p, -1)
+    det_boxes = det_off_boxes - jnp.where(
+        keep_valid, det_labels.astype(off_boxes.dtype) * (max_coord + 1.),
+        0.)[:, None]
+    return NMSResult(det_boxes, det_scores, det_labels, keep_valid)
+
+
+def batched_class_sorted_nms(bboxes, scores, score_thr, iou_thr,
+                             max_per_img, class_pre=256,
+                             valid=None) -> NMSResult:
+    """`class_sorted_nms` vmapped over a leading batch axis."""
+    fn = partial(class_sorted_nms, score_thr=score_thr, iou_thr=iou_thr,
+                 max_per_img=max_per_img, class_pre=class_pre)
+    if valid is None:
+        return jax.vmap(lambda b, s: fn(b, s))(bboxes, scores)
+    return jax.vmap(lambda b, s, v: fn(b, s, valid=v))(bboxes, scores, valid)
 
 
 def fast_nms(bboxes: jax.Array,

@@ -116,7 +116,11 @@ class DetDataLoader:
             out['gt_frame_masks'] = gt_frame_masks
         return out
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    def _prefetch_iter(self, load_batch) -> Iterator[Dict[str, np.ndarray]]:
+        """Threaded prefetch shared by the loader variants. A worker
+        exception is forwarded through the queue and re-raised in the
+        consumer — a silently-dead worker would otherwise block the
+        training loop on ``q.get`` forever."""
         indices = self._indices()
         nb = len(self)
         q: Queue = Queue(maxsize=self.prefetch)
@@ -126,9 +130,12 @@ class DetDataLoader:
         ]
 
         def worker():
-            for batch_idx in batches:
-                samples = [self.dataset[int(i)] for i in batch_idx]
-                q.put(self._collate(samples))
+            try:
+                for batch_idx in batches:
+                    q.put(load_batch(batch_idx))
+            except BaseException as e:
+                q.put(e)
+                return
             q.put(None)
 
         t = threading.Thread(target=worker, daemon=True)
@@ -137,7 +144,13 @@ class DetDataLoader:
             item = q.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        return self._prefetch_iter(lambda batch_idx: self._collate(
+            [self.dataset[int(i)] for i in batch_idx]))
 
 
 class MosaicTileLoader(DetDataLoader):
@@ -188,28 +201,9 @@ class MosaicTileLoader(DetDataLoader):
                     gt_labels=gt_labels, gt_valid=gt_valid, aug_seed=seeds)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        indices = self._indices()
-        nb = len(self)
-        q: Queue = Queue(maxsize=self.prefetch)
-        batches = [
-            indices[i * self.batch_size:(i + 1) * self.batch_size]
-            for i in range(nb)
-        ]
-
         def load_group(idx: int):
             partners = [idx] + self.dataset.batch_rand_others(idx, 3)
             return [self.dataset[int(i)] for i in partners]
 
-        def worker():
-            for batch_idx in batches:
-                q.put(self._collate([load_group(int(i))
-                                     for i in batch_idx]))
-            q.put(None)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            yield item
+        return self._prefetch_iter(lambda batch_idx: self._collate(
+            [load_group(int(i)) for i in batch_idx]))

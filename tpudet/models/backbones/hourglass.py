@@ -32,8 +32,16 @@ class ResLayer(nn.Module):
         for i in range(n):
             change = (i == 0) if self.downsample_first else (i == n - 1)
             stride = self.stride if change else 1
+            # reference res_layer.py:61-74: with downsample_first=False the
+            # blocks BEFORE the change point keep the input width
+            # (inplanes -> inplanes); only the change block converts to
+            # ``planes``. Before-the-fix every block used ``planes``, which
+            # broke the residual add whenever in_channels != planes and
+            # num_blocks > 1 (hourglass low3: 512 -> 384 with 2 blocks).
+            planes = self.planes if (change or self.downsample_first) \
+                else x.shape[-1]
             ds = change and (stride != 1 or x.shape[-1] != self.planes)
-            x = BasicBlock(self.planes, stride=stride, downsample=ds,
+            x = BasicBlock(planes, stride=stride, downsample=ds,
                            dtype=self.dtype, name=f'block{i}')(x, train)
         return x
 

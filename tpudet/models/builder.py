@@ -63,6 +63,26 @@ def build_detector(cfg, train_cfg: Optional[Dict] = None,
         neck=neck,
         train_cfg=dict(train_cfg) if train_cfg else None,
         test_cfg=dict(test_cfg) if test_cfg else None)
+    if 'teacher_config' in cfg:
+        # KD detectors name a full detector config as the frozen teacher
+        # (reference kd_one_stage.py:22-43 builds the teacher from
+        # teacher_config + teacher_ckpt). The teacher's modules are built
+        # here; its weights arrive via the checkpoint loader
+        # (teacher_ckpt is a torch URL in the reference — load a
+        # converted checkpoint with tools/model_converters/torch_to_jax).
+        import os.path as osp
+        tpath = cfg.pop('teacher_config')
+        cfg.pop('teacher_ckpt', None)
+        if not osp.isabs(tpath) and not osp.exists(tpath):
+            root = osp.dirname(osp.dirname(osp.dirname(
+                osp.abspath(__file__))))
+            tpath = osp.join(root, tpath)
+        from ..config import Config
+        tcfg = copy.deepcopy(dict(Config.fromfile(tpath)['model']))
+        kwargs['teacher_backbone'] = build_backbone(tcfg['backbone'])
+        if tcfg.get('neck') is not None:
+            kwargs['teacher_neck'] = build_neck(tcfg['neck'])
+        kwargs['teacher_bbox_head'] = build_head(tcfg['bbox_head'])
     if 'rpn_head' in cfg:  # two-stage / RPN-only (reference two_stage.py)
         kwargs['rpn_head'] = build_head(cfg.pop('rpn_head'))
         if 'roi_head' in cfg:

@@ -142,8 +142,10 @@ class RetinaHead(nn.Module):
                                 dtype=jnp.float32) * pos[..., None]
         label_weights = (pos | neg).astype(jnp.float32)[..., None]
         if self.use_ghm:
+            # reference configs/ghm/retinanet_ghm_r50_fpn_1x_coco.py:
+            # GHMC bins=30; GHMR mu=0.02, bins=10, loss_weight=10
             loss_cls = L.ghm_c_loss(
-                cls_flat, onehot,
+                cls_flat, onehot, bins=30,
                 label_weight=jnp.broadcast_to(label_weights, cls_flat.shape),
                 loss_weight=self.loss_cls_weight)
         else:
@@ -160,9 +162,18 @@ class RetinaHead(nn.Module):
                                   jnp.broadcast_to(anchors[None],
                                                    matched_boxes.shape))
         target_deltas = self.bbox_coder.encode(anchors[None], matched_boxes)
-        loss_bbox = L.l1_loss(
-            reg_flat, target_deltas, weight=pos[..., None].astype(jnp.float32),
-            avg_factor=num_pos, loss_weight=self.loss_bbox_weight)
+        if self.use_ghm:
+            loss_bbox = L.ghm_r_loss(
+                reg_flat, target_deltas,
+                label_weight=jnp.broadcast_to(
+                    pos[..., None].astype(jnp.float32), reg_flat.shape),
+                mu=0.02, bins=10,
+                loss_weight=10.0 * self.loss_bbox_weight)
+        else:
+            loss_bbox = L.l1_loss(
+                reg_flat, target_deltas,
+                weight=pos[..., None].astype(jnp.float32),
+                avg_factor=num_pos, loss_weight=self.loss_bbox_weight)
         return dict(loss_cls=loss_cls, loss_bbox=loss_bbox,
                     num_gts=jnp.mean(jnp.sum(gt_valid.astype(jnp.float32),
                                              axis=1)))

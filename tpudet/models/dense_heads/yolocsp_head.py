@@ -149,6 +149,7 @@ class YOLOCSPHead(nn.Module):
                    max_per_img: int = 300,
                    nms_pre: int = 2048,
                    anchor_pre: int = 2048,
+                   class_pre: int = 0,
                    with_nms: bool = True,
                    nms_type: str = 'nms',
                    sigma: float = 0.5,
@@ -187,8 +188,22 @@ class YOLOCSPHead(nn.Module):
         if not with_nms:
             return bbox, scores
         total = scores.shape[1] * scores.shape[2]
-        # nms_pre <= 0 means uncapped (reference nms_pre=-1 semantics,
-        # configs/yolov4/yolov4l_coco_mosaic.py:14-15)
+        if nms_type == 'nms' and (class_pre > 0 or nms_pre <= 0):
+            from ...core.nms import (batched_class_sorted_nms,
+                                     batched_dense_class_nms)
+            if class_pre > 0:
+                # per-class candidate budget (core/nms.py::class_sorted_nms)
+                # — sort-shaped selection, no flat top-k, no index gather
+                return batched_class_sorted_nms(bbox, scores, score_thr,
+                                                iou_thr, max_per_img,
+                                                class_pre=class_pre)
+            # reference nms_pre=-1 (uncapped) semantics
+            # (configs/yolov4/yolov4l_coco_mosaic.py:14-15), computed
+            # EXACTLY: per-class blocked NMS on the dense (N, C) grid —
+            # no (box,class) flattening, no top-k selection, no index
+            # gather (see core/nms.py::dense_class_nms).
+            return batched_dense_class_nms(bbox, scores, score_thr, iou_thr,
+                                           max_per_img)
         nms_pre = total if nms_pre <= 0 else min(nms_pre, total)
         return batched_nms(bbox, scores, score_thr, iou_thr, max_per_img,
                            nms_pre=nms_pre, nms_type=nms_type, sigma=sigma,

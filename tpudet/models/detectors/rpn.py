@@ -30,7 +30,7 @@ class RPN(nn.Module):
     test_cfg: Optional[Dict] = None
 
     def extract_feat(self, img, train: bool = False):
-        x = self.backbone(img, train)
+        x = self.backbone(img, train=train)
         if self.neck is not None:
             x = self.neck(x, train)
         return x
@@ -67,7 +67,7 @@ class FastRCNN(nn.Module):
     test_cfg: Optional[Dict] = None
 
     def extract_feat(self, img, train: bool = False):
-        x = self.backbone(img, train)
+        x = self.backbone(img, train=train)
         if self.neck is not None:
             x = self.neck(x, train)
         return x

@@ -26,7 +26,7 @@ class SingleStageDetector(nn.Module):
 
     def extract_feat(self, img, train: bool = False):
         """backbone(+neck) features (reference single_stage.py:35-41)."""
-        x = self.backbone(img, train)
+        x = self.backbone(img, train=train)
         if self.neck is not None:
             x = self.neck(x, train)
         return x
@@ -41,11 +41,17 @@ class SingleStageDetector(nn.Module):
     def loss(self, pred_maps, gt_bboxes, gt_labels, gt_valid):
         return self.bbox_head.loss(pred_maps, gt_bboxes, gt_labels, gt_valid)
 
+    # subclasses tune only these; keeps the registry aliases from
+    # repeating the whole test_cfg -> head-kwargs translation
+    default_iou_thr = 0.65  # NMS IoU when the config omits it
+    strip_test_keys = ()    # extra test_cfg keys the head must not see
+
     def get_bboxes(self, pred_maps, **kwargs):
         cfg = dict(self.test_cfg or {})
         nms_cfg = cfg.pop('nms', None)
         if nms_cfg is not None:
-            cfg['iou_thr'] = nms_cfg.get('iou_threshold', 0.65)
+            cfg['iou_thr'] = nms_cfg.get('iou_threshold',
+                                         self.default_iou_thr)
             if nms_cfg.get('type', 'nms') != 'nms':
                 cfg['nms_type'] = nms_cfg['type']
             if 'sigma' in nms_cfg:
@@ -53,6 +59,8 @@ class SingleStageDetector(nn.Module):
             if 'min_score' in nms_cfg:
                 cfg['min_score'] = nms_cfg['min_score']
         cfg.pop('min_bbox_size', None)
+        for key in self.strip_test_keys:
+            cfg.pop(key, None)
         if 'nms_pre' in cfg and cfg['nms_pre'] <= 0:
             # reference nms_pre=-1 == uncapped; head treats <=0 the same
             cfg['nms_pre'] = 0
@@ -73,29 +81,13 @@ class YOLOV5(SingleStageDetector):
 @DETECTORS.register_module()
 class YOLOV3(SingleStageDetector):
     """YOLOv3 (reference mmdet/models/detectors/yolo.py)."""
-
-    def get_bboxes(self, pred_maps, **kwargs):
-        cfg = dict(self.test_cfg or {})
-        nms_cfg = cfg.pop('nms', None)
-        if nms_cfg is not None:
-            cfg['iou_thr'] = nms_cfg.get('iou_threshold', 0.45)
-        cfg.pop('min_bbox_size', None)
-        cfg.update(kwargs)
-        return self.bbox_head.get_bboxes(pred_maps, **cfg)
+    default_iou_thr = 0.45
 
 
 @DETECTORS.register_module()
 class ATSS(SingleStageDetector):
     """ATSS detector (reference mmdet/models/detectors/atss.py)."""
-
-    def get_bboxes(self, pred_maps, **kwargs):
-        cfg = dict(self.test_cfg or {})
-        nms_cfg = cfg.pop('nms', None)
-        if nms_cfg is not None:
-            cfg['iou_thr'] = nms_cfg.get('iou_threshold', 0.6)
-        cfg.pop('min_bbox_size', None)
-        cfg.update(kwargs)
-        return self.bbox_head.get_bboxes(pred_maps, **cfg)
+    default_iou_thr = 0.6
 
 
 @DETECTORS.register_module()
@@ -106,127 +98,56 @@ class GFL(ATSS):
 @DETECTORS.register_module()
 class FCOS(SingleStageDetector):
     """Anchor-free FCOS (reference mmdet/models/detectors/fcos.py)."""
-
-    def get_bboxes(self, pred_maps, **kwargs):
-        cfg = dict(self.test_cfg or {})
-        nms_cfg = cfg.pop('nms', None)
-        if nms_cfg is not None:
-            cfg['iou_thr'] = nms_cfg.get('iou_threshold', 0.5)
-        cfg.pop('min_bbox_size', None)
-        cfg.update(kwargs)
-        return self.bbox_head.get_bboxes(pred_maps, **cfg)
+    default_iou_thr = 0.5
 
 
 @DETECTORS.register_module()
 class VFNet(SingleStageDetector):
     """VarifocalNet (reference mmdet/models/detectors/vfnet.py)."""
-
-    def get_bboxes(self, pred_maps, **kwargs):
-        cfg = dict(self.test_cfg or {})
-        nms_cfg = cfg.pop('nms', None)
-        if nms_cfg is not None:
-            cfg['iou_thr'] = nms_cfg.get('iou_threshold', 0.6)
-        cfg.pop('min_bbox_size', None)
-        cfg.update(kwargs)
-        return self.bbox_head.get_bboxes(pred_maps, **cfg)
+    default_iou_thr = 0.6
 
 
 @DETECTORS.register_module()
 class RepPointsDetector(SingleStageDetector):
     """RepPoints (reference mmdet/models/detectors/reppoints_detector.py)."""
-
-    def get_bboxes(self, pred_maps, **kwargs):
-        cfg = dict(self.test_cfg or {})
-        nms_cfg = cfg.pop('nms', None)
-        if nms_cfg is not None:
-            cfg['iou_thr'] = nms_cfg.get('iou_threshold', 0.5)
-        cfg.pop('min_bbox_size', None)
-        cfg.update(kwargs)
-        return self.bbox_head.get_bboxes(pred_maps, **cfg)
+    default_iou_thr = 0.5
 
 
 @DETECTORS.register_module()
 class CornerNet(SingleStageDetector):
     """CornerNet (reference mmdet/models/detectors/cornernet.py);
     keypoint-pair decoding + soft-NMS, no anchor machinery."""
-
-    def get_bboxes(self, pred_maps, **kwargs):
-        cfg = dict(self.test_cfg or {})
-        nms_cfg = cfg.pop('nms', None)
-        if nms_cfg is not None and 'iou_threshold' in nms_cfg:
-            cfg['iou_thr'] = nms_cfg['iou_threshold']
-        cfg.pop('min_bbox_size', None)
-        cfg.pop('nms_pre', None)
-        cfg.update(kwargs)
-        return self.bbox_head.get_bboxes(pred_maps, **cfg)
+    default_iou_thr = 0.5
+    strip_test_keys = ('nms_pre',)
 
 
 @DETECTORS.register_module()
 class DETR(SingleStageDetector):
     """DETR set-prediction detector (reference
     mmdet/models/detectors/detr.py); no neck, no NMS."""
-
-    def get_bboxes(self, pred_maps, **kwargs):
-        cfg = dict(self.test_cfg or {})
-        cfg.pop('nms', None)
-        cfg.pop('min_bbox_size', None)
-        cfg.pop('nms_pre', None)
-        cfg.pop('score_thr', None)
-        cfg.update(kwargs)
-        return self.bbox_head.get_bboxes(pred_maps, **cfg)
+    strip_test_keys = ('nms_pre', 'score_thr', 'iou_thr', 'nms_type',
+                       'sigma', 'min_score')
 
 
 @DETECTORS.register_module()
 class FSAF(SingleStageDetector):
     """FSAF (reference mmdet/models/detectors/fsaf.py)."""
-
-    def get_bboxes(self, pred_maps, **kwargs):
-        cfg = dict(self.test_cfg or {})
-        nms_cfg = cfg.pop('nms', None)
-        if nms_cfg is not None:
-            cfg['iou_thr'] = nms_cfg.get('iou_threshold', 0.5)
-        cfg.pop('min_bbox_size', None)
-        cfg.update(kwargs)
-        return self.bbox_head.get_bboxes(pred_maps, **cfg)
+    default_iou_thr = 0.5
 
 
 @DETECTORS.register_module()
 class FOVEA(SingleStageDetector):
     """FoveaBox (reference mmdet/models/detectors/fovea.py)."""
-
-    def get_bboxes(self, pred_maps, **kwargs):
-        cfg = dict(self.test_cfg or {})
-        nms_cfg = cfg.pop('nms', None)
-        if nms_cfg is not None:
-            cfg['iou_thr'] = nms_cfg.get('iou_threshold', 0.5)
-        cfg.pop('min_bbox_size', None)
-        cfg.update(kwargs)
-        return self.bbox_head.get_bboxes(pred_maps, **cfg)
+    default_iou_thr = 0.5
 
 
 @DETECTORS.register_module()
 class YOLOF(SingleStageDetector):
     """Single-level YOLOF (reference mmdet/models/detectors/yolof.py)."""
-
-    def get_bboxes(self, pred_maps, **kwargs):
-        cfg = dict(self.test_cfg or {})
-        nms_cfg = cfg.pop('nms', None)
-        if nms_cfg is not None:
-            cfg['iou_thr'] = nms_cfg.get('iou_threshold', 0.6)
-        cfg.pop('min_bbox_size', None)
-        cfg.update(kwargs)
-        return self.bbox_head.get_bboxes(pred_maps, **cfg)
+    default_iou_thr = 0.6
 
 
 @DETECTORS.register_module()
 class RetinaNet(SingleStageDetector):
     """Generic anchor path (reference mmdet/models/detectors/retinanet.py)."""
-
-    def get_bboxes(self, pred_maps, **kwargs):
-        cfg = dict(self.test_cfg or {})
-        nms_cfg = cfg.pop('nms', None)
-        if nms_cfg is not None:
-            cfg['iou_thr'] = nms_cfg.get('iou_threshold', 0.5)
-        cfg.pop('min_bbox_size', None)
-        cfg.update(kwargs)
-        return self.bbox_head.get_bboxes(pred_maps, **cfg)
+    default_iou_thr = 0.5

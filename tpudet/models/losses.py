@@ -239,6 +239,39 @@ def ghm_c_loss(pred, target, label_weight=None, bins=10, momentum=0.0,
     return loss_weight * jnp.sum(loss) / tot
 
 
+def ghm_r_loss(pred, target, label_weight=None, mu=0.02, bins=10,
+               loss_weight=1.0):
+    """Gradient-harmonized regression loss, stateless variant (reference
+    ghm_loss.py:95-170 GHMR with momentum=0 semantics): the Authentic
+    Smooth L1 loss ``sqrt(d^2 + mu^2) - mu``, with each element inversely
+    weighted by the histogram density of its gradient length
+    ``|d| / sqrt(d^2 + mu^2)``.
+
+    The reference walks the bins in a Python loop with ``.item()`` syncs;
+    here the histogram is one one-hot matmul (g < 1 always, so the
+    reference's 1e3 top edge reduces to clamping into the last bin) and
+    the per-element weight is a (bins,)-table gather — no host syncs, no
+    data-dependent control flow.
+    """
+    diff = pred - target
+    asl1 = jnp.sqrt(diff * diff + mu * mu) - mu
+    g = jax.lax.stop_gradient(
+        jnp.abs(diff) / jnp.sqrt(diff * diff + mu * mu))
+    if label_weight is None:
+        label_weight = jnp.ones_like(pred)
+    valid = label_weight > 0
+    tot = jnp.maximum(jnp.sum(label_weight.astype(jnp.float32)), 1.0)
+    bin_id = jnp.minimum((g * bins).astype(jnp.int32), bins - 1)
+    counts = jnp.sum(
+        jax.nn.one_hot(bin_id, bins, dtype=jnp.float32)
+        * valid[..., None].astype(jnp.float32),
+        axis=tuple(range(bin_id.ndim)))  # (bins,)
+    nonempty = jnp.maximum(jnp.sum((counts > 0).astype(jnp.float32)), 1.0)
+    w = jnp.where(valid, tot / jnp.maximum(jnp.take(counts, bin_id), 1.0),
+                  0.0) / nonempty
+    return loss_weight * jnp.sum(asl1 * w) / tot
+
+
 def gaussian_focal_loss(pred, gaussian_target, alpha=2.0, gamma=4.0,
                         weight=None, reduction='mean', avg_factor=None,
                         loss_weight=1.0, eps=1e-12):

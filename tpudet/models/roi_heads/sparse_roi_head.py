@@ -250,7 +250,7 @@ class SparseRCNN(nn.Module):
     test_cfg: Any = None
 
     def extract_feat(self, img, train: bool = False):
-        x = self.backbone(img, train)
+        x = self.backbone(img, train=train)
         if self.neck is not None:
             x = self.neck(x, train)
         return x
