@@ -139,3 +139,32 @@ def test_train_detector_end_to_end(tiny_coco_dir, tmp_path):
     report = coco_fast_bbox_eval(results, annotations,
                                  classes=dataset.CLASSES)
     assert 'map' in report  # untrained model: any finite/nan value is fine
+
+
+def test_nan_guard_trips_and_dumps(tiny_coco_dir, tmp_path, monkeypatch):
+    """The train driver's NaN guard (SURVEY §5 jax_debug_nans analogue)
+    must abort with diagnostics instead of training on poisoned grads."""
+    import jax
+    import tpudet.apis.train as T
+
+    root, ann = tiny_coco_dir
+    cfg = make_cfg(root, ann)
+    cfg['nan_guard'] = dict(enabled=True, interval=1)
+
+    real_jit = T.jit_train_step
+
+    def poisoned_jit(step_fn, mesh, **kw):
+        inner = real_jit(step_fn, mesh, **kw)
+
+        def poisoned(state, batch):
+            state, metrics = inner(state, batch)
+            metrics = dict(metrics)
+            metrics['loss'] = jax.numpy.float32(np.nan)
+            return state, metrics
+
+        return poisoned
+
+    monkeypatch.setattr(T, 'jit_train_step', poisoned_jit)
+    with pytest.raises(FloatingPointError):
+        T.train_detector(cfg, str(tmp_path), max_steps=2, resume=False)
+    assert osp.exists(str(tmp_path / 'nan_dump'))
