@@ -188,3 +188,34 @@ def test_eval_annotations(tiny_coco):
     ann = ds.get_ann_info_test(0)
     assert set(ann['gt_attrs']) == {'ignore', 'iscrowd', 'area'}
     assert ann['gt_bboxes'].shape[1] == 4
+
+
+def test_results2json_interchange(tiny_coco, tmp_path):
+    """COCO-result interchange dump (reference coco.py:265-310
+    results2json): original category ids, xywh boxes, RLE segm."""
+    import json
+
+    ann_file, root = tiny_coco
+    pipeline = [dict(type='LoadImageFromFile')]
+    ds = CocoDataset(ann_file, pipeline, img_prefix=root, test_mode=True)
+    nc = len(ds.CLASSES)
+    results, segms = [], []
+    for i in range(len(ds)):
+        per_cls = [np.zeros((0, 5), np.float32) for _ in range(nc)]
+        per_cls_segm = [[] for _ in range(nc)]
+        per_cls[0] = np.array([[10., 20., 30., 60., 0.9]], np.float32)
+        per_cls_segm[0] = [dict(size=[64, 64], counts=[10, 5, 4081])]
+        results.append(per_cls)
+        segms.append(per_cls_segm)
+    paths = ds.results2json(results, str(tmp_path / 'res'),
+                            segm_results=segms)
+    dets = json.load(open(paths['bbox']))
+    assert len(dets) == len(ds)
+    d = dets[0]
+    assert d['image_id'] == ds.img_ids[0]
+    assert d['category_id'] == ds.cat_ids[0]
+    assert d['bbox'] == [10., 20., 20., 40.]  # xyxy -> xywh
+    assert d['score'] == pytest.approx(0.9)
+    seg = json.load(open(paths['segm']))
+    assert seg[0]['segmentation']['counts'] == [10, 5, 4081]
+    assert seg[0]['bbox'] == d['bbox']

@@ -25,6 +25,10 @@ def parse_args():
                         'NMS (reference MultiScaleFlipAug + '
                         'aug_test_bboxes); single-stage models')
     p.add_argument('--out', help='dump results json')
+    p.add_argument('--format-out',
+                   help='dump detections in interchange COCO-result format '
+                        'to <prefix>.bbox.json / <prefix>.segm.json '
+                        '(reference coco.py results2json)')
     return p.parse_args()
 
 
@@ -67,6 +71,12 @@ def main():
     if args.out:
         with open(args.out, 'w') as f:
             json.dump(report, f)
+    if args.format_out:
+        paths = dataset.results2json(
+            results, args.format_out,
+            segm_results=segm_results if with_masks else None)
+        for metric, path in paths.items():
+            print(f'wrote {metric} results to {path}')
 
 
 if __name__ == '__main__':

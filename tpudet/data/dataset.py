@@ -197,6 +197,46 @@ class CocoDataset:
             _idx=idx)
         return results
 
+    def results2json(self, results, outfile_prefix: str,
+                     segm_results=None) -> Dict[str, str]:
+        """Dump detections in interchange COCO-result format (reference
+        coco.py:265-310 _det2json/_segm2json + results2json): one record
+        per detection with ``image_id``, ``category_id`` (original COCO
+        category ids), xywh ``bbox`` and ``score``; mask results add the
+        RLE ``segmentation``. Output consumable by pycocotools/COCO
+        leaderboard tooling. Returns {metric: written path}.
+        """
+        import json
+
+        def _xywh(box):
+            x1, y1, x2, y2 = (float(v) for v in box[:4])
+            return [x1, y1, x2 - x1, y2 - y1]
+
+        det_json, segm_json = [], []
+        for idx, per_class in enumerate(results):
+            img_id = self.img_ids[idx]
+            for cls, dets in enumerate(per_class):
+                for j, det in enumerate(dets):
+                    rec = dict(image_id=img_id,
+                               bbox=_xywh(det),
+                               score=float(det[4]),
+                               category_id=int(self.cat_ids[cls]))
+                    det_json.append(rec)
+                    if segm_results is not None:
+                        rle = dict(segm_results[idx][cls][j])
+                        if isinstance(rle.get('counts'), bytes):
+                            rle['counts'] = rle['counts'].decode()
+                        segm_json.append({**rec, 'segmentation': rle})
+        out = {}
+        out['bbox'] = f'{outfile_prefix}.bbox.json'
+        with open(out['bbox'], 'w') as f:
+            json.dump(det_json, f)
+        if segm_results is not None:
+            out['segm'] = f'{outfile_prefix}.segm.json'
+            with open(out['segm'], 'w') as f:
+                json.dump(segm_json, f)
+        return out
+
     def __getitem__(self, idx: int) -> Dict:
         if self.test_mode:
             return self.pipeline(self.prepare_input(idx))
