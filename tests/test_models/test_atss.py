@@ -31,7 +31,7 @@ def test_atss_forward_loss_bboxes():
     cls_scores, bbox_preds, centernesses = preds
     assert cls_scores[0].shape == (2, 16, 16, 5)  # single anchor per cell
     assert bbox_preds[0].shape == (2, 16, 16, 4)
-    assert float(jnp.min(bbox_preds[0])) >= 0  # relu'd distances
+    # DeltaXYWH deltas (reference coder, stds .1/.2) — signed values
 
     losses = model.loss(preds, gt_bboxes, gt_labels, gt_valid)
     for k in ('loss_cls', 'loss_bbox', 'loss_centerness'):

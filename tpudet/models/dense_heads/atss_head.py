@@ -2,7 +2,9 @@
 RetinaNet-style cls/reg towers with a single anchor per cell, a centerness
 branch, the Adaptive Training Sample Selection assigner (dense version in
 tpudet/core/assigners.py), focal cls loss, centerness-weighted GIoU
-regression, and BCE centerness.
+regression on DeltaXYWH-decoded boxes (reference bbox_coder
+target_stds=[0.1, 0.1, 0.2, 0.2], atss_r50_fpn_1x_coco.py:36-39), and BCE
+centerness.
 """
 from __future__ import annotations
 
@@ -16,6 +18,7 @@ import numpy as np
 
 from ...core.anchors import AnchorGenerator
 from ...core.assigners import atss_assign_batch
+from ...core.bbox import DeltaXYWHBBoxCoder
 from ...core.nms import batched_nms
 from ...registry import HEADS
 from .. import losses as L
@@ -33,7 +36,12 @@ class ATSSHead(nn.Module):
     focal_gamma: float = 2.0
     focal_alpha: float = 0.25
     loss_bbox_weight: float = 2.0
+    target_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
     dtype: Any = None
+
+    @property
+    def bbox_coder(self):
+        return DeltaXYWHBBoxCoder(target_stds=self.target_stds)
 
     @property
     def anchor_generator(self) -> AnchorGenerator:
@@ -77,11 +85,9 @@ class ATSSHead(nn.Module):
             for conv in reg_tower:
                 r = jax.nn.relu(conv(r))
             cls_out.append(atss_cls(c))
-            # distances in stride units, scaled per level (reference: Scale
-            # on the reg conv output, distances decoded vs anchor center)
-            reg_out.append(jax.nn.relu(
-                atss_reg(r).astype(jnp.float32) * scales[lvl]) *
-                self.strides[lvl])
+            # DeltaXYWH deltas, per-level learnable Scale on the reg conv
+            # output (reference forward_single: scale(atss_reg(x)).float())
+            reg_out.append(atss_reg(r).astype(jnp.float32) * scales[lvl])
             ctr_out.append(atss_ctr(r))
         return tuple(cls_out), tuple(reg_out), tuple(ctr_out)
 
@@ -90,14 +96,6 @@ class ATSSHead(nn.Module):
         per_level = self.anchor_generator.grid_anchors(featmap_sizes)
         return (np.concatenate(per_level),
                 [len(a) for a in per_level])
-
-    @staticmethod
-    def _decode(centers, ltrb):
-        x1 = centers[..., 0] - ltrb[..., 0]
-        y1 = centers[..., 1] - ltrb[..., 1]
-        x2 = centers[..., 0] + ltrb[..., 2]
-        y2 = centers[..., 1] + ltrb[..., 3]
-        return jnp.stack([x1, y1, x2, y2], axis=-1)
 
     def loss(self, preds, gt_bboxes, gt_labels, gt_valid) -> Dict:
         cls_scores, bbox_preds, centernesses = preds
@@ -143,7 +141,8 @@ class ATSSHead(nn.Module):
                                     0., 1.))
         ctr_tgt = jnp.where(pos, ctr_tgt, 0.)
 
-        pred_boxes = self._decode(centers[None], reg_flat)
+        # reference loss_single: GIoU(bbox_coder.decode(anchor, pred), gt)
+        pred_boxes = self.bbox_coder.decode(anchors[None], reg_flat)
         w = ctr_tgt * pos
         loss_bbox = L.giou_loss(
             pred_boxes, matched, weight=w,
@@ -160,7 +159,11 @@ class ATSSHead(nn.Module):
     # ------------------------------------------------------------------
     def get_bboxes(self, preds, scale_factors=None, score_thr: float = 0.05,
                    iou_thr: float = 0.6, max_per_img: int = 100,
-                   nms_pre: int = 1000, **kwargs):
+                   nms_pre: int = 1000, img_shape=None, with_nms: bool = True,
+                   **kwargs):
+        """Decode + NMS (reference atss_head.py _get_bboxes: per-level
+        top-k ranked by scores*centerness, DeltaXYWH decode from anchors
+        clipped to ``img_shape``, centerness folded into the NMS score)."""
         cls_scores, bbox_preds, centernesses = preds
         featmap_sizes = [tuple(c.shape[1:3]) for c in cls_scores]
         mlvl = self.anchor_generator.grid_anchors(featmap_sizes)
@@ -168,30 +171,31 @@ class ATSSHead(nn.Module):
         boxes_all, scores_all = [], []
         for lvl in range(len(cls_scores)):
             anchors = jnp.asarray(mlvl[lvl])
-            centers = jnp.stack([(anchors[:, 0] + anchors[:, 2]) * 0.5,
-                                 (anchors[:, 1] + anchors[:, 3]) * 0.5], -1)
             scores = jax.nn.sigmoid(
                 cls_scores[lvl].reshape(b, -1, self.num_classes).astype(
                     jnp.float32))
             ctr = jax.nn.sigmoid(
                 centernesses[lvl].reshape(b, -1).astype(jnp.float32))
             scores = scores * ctr[..., None]
-            ltrb = bbox_preds[lvl].reshape(b, -1, 4).astype(jnp.float32)
-            k = min(nms_pre, scores.shape[1])
+            deltas = bbox_preds[lvl].reshape(b, -1, 4).astype(jnp.float32)
+            k = min(nms_pre, scores.shape[1]) if with_nms else 0
             if 0 < k < scores.shape[1]:
                 max_s = jnp.max(scores, axis=-1)
                 _, topk = jax.lax.top_k(max_s, k)
                 scores = jnp.take_along_axis(scores, topk[..., None], axis=1)
-                ltrb = jnp.take_along_axis(ltrb, topk[..., None], axis=1)
-                lvl_centers = centers[topk]
+                deltas = jnp.take_along_axis(deltas, topk[..., None], axis=1)
+                lvl_anchors = anchors[topk]
             else:
-                lvl_centers = jnp.broadcast_to(centers[None],
-                                               (b,) + centers.shape)
-            boxes_all.append(self._decode(lvl_centers, ltrb))
+                lvl_anchors = jnp.broadcast_to(anchors[None],
+                                               (b,) + anchors.shape)
+            boxes_all.append(self.bbox_coder.decode(lvl_anchors, deltas,
+                                                    max_shape=img_shape))
             scores_all.append(scores)
         bbox = jnp.concatenate(boxes_all, axis=1)
         scores = jnp.concatenate(scores_all, axis=1)
         if scale_factors is not None:
             bbox = bbox / scale_factors[:, None, :]
+        if not with_nms:
+            return bbox, scores
         return batched_nms(bbox, scores, score_thr, iou_thr, max_per_img,
                            nms_pre=2048)

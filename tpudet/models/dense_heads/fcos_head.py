@@ -188,7 +188,11 @@ class FCOSHead(nn.Module):
     # ------------------------------------------------------------------
     def get_bboxes(self, preds, scale_factors=None, score_thr: float = 0.05,
                    iou_thr: float = 0.5, max_per_img: int = 100,
-                   nms_pre: int = 1000, **kwargs):
+                   nms_pre: int = 1000, img_shape=None,
+                   with_nms: bool = True, **kwargs):
+        """Decode + NMS (reference fcos_head.py _get_bboxes: per-level
+        top-k ranked by scores*centerness, distance2bbox clipped to
+        ``img_shape``, centerness folded into the NMS score)."""
         cls_scores, bbox_preds, centernesses = preds
         featmap_sizes = [tuple(c.shape[1:3]) for c in cls_scores]
         b = cls_scores[0].shape[0]
@@ -203,7 +207,7 @@ class FCOSHead(nn.Module):
                 centernesses[lvl].reshape(b, -1).astype(jnp.float32))
             ltrb = bbox_preds[lvl].reshape(b, -1, 4).astype(jnp.float32)
             scores = scores * ctr[..., None]
-            k = min(nms_pre, scores.shape[1])
+            k = min(nms_pre, scores.shape[1]) if with_nms else 0
             if 0 < k < scores.shape[1]:
                 max_s = jnp.max(scores, axis=-1)
                 _, topk = jax.lax.top_k(max_s, k)
@@ -216,11 +220,18 @@ class FCOSHead(nn.Module):
             y1 = lvl_pts[..., 1] - ltrb[..., 1]
             x2 = lvl_pts[..., 0] + ltrb[..., 2]
             y2 = lvl_pts[..., 1] + ltrb[..., 3]
+            if img_shape is not None:  # distance2bbox max_shape clip
+                x1 = jnp.clip(x1, 0, img_shape[1])
+                y1 = jnp.clip(y1, 0, img_shape[0])
+                x2 = jnp.clip(x2, 0, img_shape[1])
+                y2 = jnp.clip(y2, 0, img_shape[0])
             boxes_all.append(jnp.stack([x1, y1, x2, y2], axis=-1))
             scores_all.append(scores)
         bbox = jnp.concatenate(boxes_all, axis=1)
         scores = jnp.concatenate(scores_all, axis=1)
         if scale_factors is not None:
             bbox = bbox / scale_factors[:, None, :]
+        if not with_nms:
+            return bbox, scores
         return batched_nms(bbox, scores, score_thr, iou_thr, max_per_img,
                            nms_pre=2048)

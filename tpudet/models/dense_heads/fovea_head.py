@@ -173,7 +173,11 @@ class FoveaHead(nn.Module):
     # ------------------------------------------------------------------
     def get_bboxes(self, preds, scale_factors=None, score_thr: float = 0.05,
                    iou_thr: float = 0.5, max_per_img: int = 100,
-                   nms_pre: int = 1000, **kwargs):
+                   nms_pre: int = 1000, img_shape=None,
+                   with_nms: bool = True, **kwargs):
+        """Decode + NMS (reference fovea_head.py _get_bboxes_single:
+        exp regression scaled by base_edge around (x+0.5)*stride points,
+        corners clamped to img_shape - 1)."""
         cls_scores, bbox_preds = preds
         b = cls_scores[0].shape[0]
         boxes_all, scores_all = [], []
@@ -188,7 +192,7 @@ class FoveaHead(nn.Module):
                 bbox_preds[lvl].reshape(b, -1, 4).astype(jnp.float32))
             px = (jnp.tile(jnp.arange(w, dtype=jnp.float32), h) + 0.5) * s
             py = (jnp.repeat(jnp.arange(h, dtype=jnp.float32), w) + 0.5) * s
-            k = min(nms_pre, scores.shape[1])
+            k = min(nms_pre, scores.shape[1]) if with_nms else 0
             if 0 < k < scores.shape[1]:
                 max_s = jnp.max(scores, axis=-1)
                 _, topk = jax.lax.top_k(max_s, k)
@@ -203,11 +207,18 @@ class FoveaHead(nn.Module):
             y1 = py - base * reg[..., 1]
             x2 = px + base * reg[..., 2]
             y2 = py + base * reg[..., 3]
+            if img_shape is not None:  # reference clamps to img_shape - 1
+                x1 = jnp.clip(x1, 0, img_shape[1] - 1)
+                y1 = jnp.clip(y1, 0, img_shape[0] - 1)
+                x2 = jnp.clip(x2, 0, img_shape[1] - 1)
+                y2 = jnp.clip(y2, 0, img_shape[0] - 1)
             boxes_all.append(jnp.stack([x1, y1, x2, y2], -1))
             scores_all.append(scores)
         bbox = jnp.concatenate(boxes_all, axis=1)
         scores = jnp.concatenate(scores_all, axis=1)
         if scale_factors is not None:
             bbox = bbox / scale_factors[:, None, :]
+        if not with_nms:
+            return bbox, scores
         return batched_nms(bbox, scores, score_thr, iou_thr, max_per_img,
                            nms_pre=2048)

@@ -157,7 +157,11 @@ class GFLHead(nn.Module):
     # ------------------------------------------------------------------
     def get_bboxes(self, preds, scale_factors=None, score_thr: float = 0.05,
                    iou_thr: float = 0.6, max_per_img: int = 100,
-                   nms_pre: int = 1000, **kwargs):
+                   nms_pre: int = 1000, img_shape=None,
+                   with_nms: bool = True, **kwargs):
+        """Decode + NMS (reference gfl_head.py _get_bboxes: per-level
+        top-k by raw cls scores, integral distances * stride decoded from
+        anchor centers, distance2bbox clipped to ``img_shape``)."""
         cls_scores, reg_logits = preds
         featmap_sizes = [tuple(c.shape[1:3]) for c in cls_scores]
         mlvl = self.anchor_generator.grid_anchors(featmap_sizes)
@@ -171,7 +175,7 @@ class GFLHead(nn.Module):
                 cls_scores[lvl].reshape(b, -1, self.num_classes).astype(
                     jnp.float32))
             reg = reg_logits[lvl].reshape(b, -1, 4 * (self.reg_max + 1))
-            k = min(nms_pre, scores.shape[1])
+            k = min(nms_pre, scores.shape[1]) if with_nms else 0
             if 0 < k < scores.shape[1]:
                 max_s = jnp.max(scores, axis=-1)
                 _, topk = jax.lax.top_k(max_s, k)
@@ -182,11 +186,20 @@ class GFLHead(nn.Module):
                 lvl_centers = jnp.broadcast_to(centers[None],
                                                (b,) + centers.shape)
             dists = self._integral(reg) * float(self.strides[lvl])
-            boxes_all.append(self._decode(lvl_centers, dists))
+            decoded = self._decode(lvl_centers, dists)
+            if img_shape is not None:  # distance2bbox max_shape clip
+                decoded = jnp.stack([
+                    jnp.clip(decoded[..., 0], 0, img_shape[1]),
+                    jnp.clip(decoded[..., 1], 0, img_shape[0]),
+                    jnp.clip(decoded[..., 2], 0, img_shape[1]),
+                    jnp.clip(decoded[..., 3], 0, img_shape[0])], axis=-1)
+            boxes_all.append(decoded)
             scores_all.append(scores)
         bbox = jnp.concatenate(boxes_all, axis=1)
         scores = jnp.concatenate(scores_all, axis=1)
         if scale_factors is not None:
             bbox = bbox / scale_factors[:, None, :]
+        if not with_nms:
+            return bbox, scores
         return batched_nms(bbox, scores, score_thr, iou_thr, max_per_img,
                            nms_pre=2048)

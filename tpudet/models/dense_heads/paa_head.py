@@ -80,8 +80,6 @@ class PAAHead(ATSSHead):
         featmap_sizes = [tuple(c.shape[1:3]) for c in cls_scores]
         anchors_np, counts = self._anchors_and_counts(featmap_sizes)
         anchors = jnp.asarray(anchors_np)
-        centers = jnp.stack([(anchors[:, 0] + anchors[:, 2]) * 0.5,
-                             (anchors[:, 1] + anchors[:, 3]) * 0.5], -1)
         level_id = jnp.asarray(np.concatenate([
             np.full(c, i, np.int32) for i, c in enumerate(counts)]))
         num_levels = len(counts)
@@ -98,7 +96,9 @@ class PAAHead(ATSSHead):
         iou_flat = jnp.concatenate([
             c.reshape(b, -1).astype(jnp.float32) for c in iou_preds
         ], axis=1)
-        pred_boxes = self._decode(centers[None], reg_flat)
+        # DeltaXYWH decode from anchors (reference PAA shares ATSS's coder,
+        # configs/paa/paa_r50_fpn_1x_coco.py bbox_coder stds .1/.2)
+        pred_boxes = self.bbox_coder.decode(anchors[None], reg_flat)
 
         # 1. loose candidates
         assigned = max_iou_assign_batch(anchors, gt_bboxes, gt_valid,
@@ -182,8 +182,6 @@ class PAAHead(ATSSHead):
         boxes_all, scores_all = [], []
         for lvl in range(len(cls_scores)):
             anchors = jnp.asarray(per_level[lvl])
-            centers = jnp.stack([(anchors[:, 0] + anchors[:, 2]) * 0.5,
-                                 (anchors[:, 1] + anchors[:, 3]) * 0.5], -1)
             scores = jax.nn.sigmoid(
                 cls_scores[lvl].reshape(b, -1, self.num_classes).astype(
                     jnp.float32))
@@ -192,18 +190,18 @@ class PAAHead(ATSSHead):
             # PAA score: sqrt(cls * iou) (paa_head._get_bboxes score_voting
             # base scores)
             scores = jnp.sqrt(jnp.clip(scores * iou_p[..., None], 0., 1.))
-            ltrb = bbox_preds[lvl].reshape(b, -1, 4).astype(jnp.float32)
+            deltas = bbox_preds[lvl].reshape(b, -1, 4).astype(jnp.float32)
             k = min(nms_pre, scores.shape[1])
             if 0 < k < scores.shape[1]:
                 max_s = jnp.max(scores, axis=-1)
                 _, topk = jax.lax.top_k(max_s, k)
                 scores = jnp.take_along_axis(scores, topk[..., None], axis=1)
-                ltrb = jnp.take_along_axis(ltrb, topk[..., None], axis=1)
-                sel_centers = centers[topk]
+                deltas = jnp.take_along_axis(deltas, topk[..., None], axis=1)
+                sel_anchors = anchors[topk]
             else:
-                sel_centers = jnp.broadcast_to(centers[None],
-                                               (b,) + centers.shape)
-            boxes_all.append(self._decode(sel_centers, ltrb))
+                sel_anchors = jnp.broadcast_to(anchors[None],
+                                               (b,) + anchors.shape)
+            boxes_all.append(self.bbox_coder.decode(sel_anchors, deltas))
             scores_all.append(scores)
         bbox = jnp.concatenate(boxes_all, axis=1)
         scores = jnp.concatenate(scores_all, axis=1)
