@@ -191,3 +191,53 @@ def test_fovea_get_bboxes_nms_matches_reference():
                                ref_dets[:, 4], atol=1e-5)
     np.testing.assert_array_equal(np.asarray(out.labels)[0][:n_ref],
                                   ref_labels)
+
+
+# ----------------------------------------------------------------- rpn
+def test_rpn_proposals_match_reference():
+    """RPN proposal generation feeds every two-stage model: per-level
+    top-k by objectness, DeltaXYWH decode + clip, min-size filter, and
+    level-aware NMS (reference rpn_head.py::_get_bboxes)."""
+    import torch
+    mmcv = refbridge.ref_import('mmcv')
+    heads = refbridge.ref_import('mmdet.models.dense_heads')
+    strides = (4, 8, 16, 32, 64)
+    ref = heads.RPNHead(
+        in_channels=1, feat_channels=8,
+        anchor_generator=dict(type='AnchorGenerator', scales=[8],
+                              ratios=[0.5, 1.0, 2.0],
+                              strides=list(strides)),
+        bbox_coder=dict(type='DeltaXYWHBBoxCoder',
+                        target_means=[0.0] * 4, target_stds=[1.0] * 4),
+        test_cfg=mmcv.Config(dict(
+            nms_pre=200, max_per_img=100,
+            nms=dict(type='nms', iou_threshold=0.7), min_bbox_size=0)))
+    ref.requires_grad_(False)
+    cls_maps = [
+        (RNG.randn(1, 3, S // s, S // s) * 2).astype(np.float32)
+        for s in strides
+    ]
+    reg_maps = [
+        (RNG.randn(1, 12, S // s, S // s) * 0.5).astype(np.float32)
+        for s in strides
+    ]
+    with torch.no_grad():
+        ref_props = ref.get_bboxes(
+            [torch.from_numpy(m) for m in cls_maps],
+            [torch.from_numpy(m) for m in reg_maps],
+            img_metas=_img_metas())[0]
+    ref_props = refbridge.to_numpy(ref_props)  # (n, 5) score-desc
+
+    from tpudet.models.dense_heads.rpn_head import RPNHead
+    head = RPNHead(in_channels=1, strides=strides)
+    props, pscores, pvalid = head.get_proposals(
+        (_to_nhwc(cls_maps), _to_nhwc(reg_maps)),
+        img_shape=(S, S), nms_pre=200, max_num=100, iou_thr=0.7)
+    props = np.asarray(props)[0]
+    pscores = np.asarray(pscores)[0]
+    pvalid = np.asarray(pvalid)[0].astype(bool)
+
+    n_ref = ref_props.shape[0]
+    assert pvalid.sum() == n_ref
+    np.testing.assert_allclose(props[:n_ref], ref_props[:, :4], atol=1e-3)
+    np.testing.assert_allclose(pscores[:n_ref], ref_props[:, 4], atol=1e-5)

@@ -165,9 +165,16 @@ class RPNHead(nn.Module):
         boxes = jnp.concatenate(boxes_all, axis=1)
         scores = jnp.concatenate(scores_all, axis=1)
         levels = jnp.concatenate(level_all, axis=1)
-        w = boxes[..., 2] - boxes[..., 0]
-        h = boxes[..., 3] - boxes[..., 1]
-        valid = (w > min_bbox_size) & (h > min_bbox_size)
+        # reference rpn_head.py:235-245: the min-size filter only runs
+        # when min_bbox_size > 0, and compares with >= — at the default 0
+        # even degenerate zero-width proposals stay in (they IoU 0 with
+        # everything, so they only occupy ranking slots)
+        if min_bbox_size > 0:
+            w = boxes[..., 2] - boxes[..., 0]
+            h = boxes[..., 3] - boxes[..., 1]
+            valid = (w >= min_bbox_size) & (h >= min_bbox_size)
+        else:
+            valid = jnp.ones(boxes.shape[:-1], bool)
 
         # level-aware NMS via coordinate offset (mmdet 2.x rpn semantics)
         max_coord = jnp.max(jnp.where(valid[..., None], boxes, 0.))
