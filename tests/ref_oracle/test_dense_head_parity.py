@@ -241,3 +241,120 @@ def test_rpn_proposals_match_reference():
     assert pvalid.sum() == n_ref
     np.testing.assert_allclose(props[:n_ref], ref_props[:, :4], atol=1e-3)
     np.testing.assert_allclose(pscores[:n_ref], ref_props[:, 4], atol=1e-5)
+
+
+# ------------------------------------------------------- two-stage bbox
+def test_bbox_head_get_bboxes_matches_reference():
+    """Two-stage final decode (reference bbox_head.py::get_bboxes):
+    softmax scores (bg column last), per-class DeltaXYWH decode with
+    img_shape clipping, multiclass NMS."""
+    import torch
+    mmcv = refbridge.ref_import('mmcv')
+    rh = refbridge.ref_import('mmdet.models.roi_heads.bbox_heads')
+    num_classes, P = 4, 64
+    ref = rh.BBoxHead(with_avg_pool=True, in_channels=1, roi_feat_size=7,
+                      num_classes=num_classes, reg_class_agnostic=False)
+    cfg = mmcv.Config(dict(score_thr=0.2,
+                           nms=dict(type='nms', iou_threshold=0.5),
+                           max_per_img=50))
+    xy = RNG.rand(P, 2).astype(np.float32) * 100
+    wh = RNG.rand(P, 2).astype(np.float32) * 40 + 8
+    rois = np.concatenate([xy, xy + wh], -1)
+    cls_logits = (RNG.randn(P, num_classes + 1) * 2).astype(np.float32)
+    deltas = (RNG.randn(P, 4 * num_classes) * 0.8).astype(np.float32)
+    with torch.no_grad():
+        ref_dets, ref_labels = ref.get_bboxes(
+            torch.from_numpy(np.concatenate(
+                [np.zeros((P, 1), np.float32), rois], -1)),
+            torch.from_numpy(cls_logits), torch.from_numpy(deltas),
+            img_shape=(S, S, 3), scale_factor=1.0, rescale=False, cfg=cfg)
+    ref_dets = refbridge.to_numpy(ref_dets)
+    ref_labels = refbridge.to_numpy(ref_labels)
+
+    from tpudet.models.roi_heads.standard_roi_head import StandardRoIHead
+    head = StandardRoIHead(num_classes=num_classes, in_channels=1)
+    out = head.get_bboxes(
+        jnp.asarray(rois)[None], jnp.ones((1, P), bool),
+        jnp.asarray(cls_logits)[None], jnp.asarray(deltas)[None],
+        score_thr=0.2, iou_thr=0.5, max_per_img=50, img_shape=(S, S))
+    valid = np.asarray(out.valid)[0].astype(bool)
+    n_ref = ref_dets.shape[0]
+    assert valid.sum() == n_ref
+    np.testing.assert_allclose(np.asarray(out.bboxes)[0][:n_ref],
+                               ref_dets[:, :4], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.scores)[0][:n_ref],
+                               ref_dets[:, 4], atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out.labels)[0][:n_ref],
+                                  ref_labels)
+
+
+# --------------------------------------------------------------- yolof
+def test_yolof_get_bboxes_matches_reference():
+    """YOLOF single-level decode (reference yolof_head.py via the shared
+    anchor_head.py::_get_bboxes: ctr-clamped DeltaXYWH, img_shape clip)."""
+    import torch
+    heads = refbridge.ref_import('mmdet.models.dense_heads')
+    ref = heads.YOLOFHead(
+        num_classes=NUM_CLASSES, in_channels=32, reg_decoded_bbox=False,
+        anchor_generator=dict(type='AnchorGenerator',
+                              ratios=[1.0], scales=[1, 2, 4, 8, 16],
+                              strides=[32]),
+        bbox_coder=dict(type='DeltaXYWHBBoxCoder',
+                        target_means=[.0, .0, .0, .0],
+                        target_stds=[1., 1., 1., 1.],
+                        add_ctr_clamp=True, ctr_clamp=32),
+        test_cfg=_cfg())
+    ref.requires_grad_(False)
+    hw = S // 32
+    cls_map = (RNG.randn(1, 5 * NUM_CLASSES, hw, hw) * 2).astype(np.float32)
+    reg_map = (RNG.randn(1, 20, hw, hw) * 1.5).astype(np.float32)
+    with torch.no_grad():
+        ref_boxes, ref_scores = ref.get_bboxes(
+            [torch.from_numpy(cls_map)], [torch.from_numpy(reg_map)],
+            img_metas=_img_metas(), with_nms=False)[0]
+    ref_boxes = refbridge.to_numpy(ref_boxes)
+    ref_scores = refbridge.to_numpy(ref_scores)[:, :NUM_CLASSES]
+
+    from tpudet.models.dense_heads.yolof_head import YOLOFHead
+    head = YOLOFHead(num_classes=NUM_CLASSES, in_channels=32)
+    my_boxes, my_scores = head.get_bboxes(
+        ((jnp.asarray(np.transpose(cls_map, (0, 2, 3, 1))),),
+         (jnp.asarray(np.transpose(reg_map, (0, 2, 3, 1))),)),
+        img_shape=(S, S), with_nms=False)
+    np.testing.assert_allclose(np.asarray(my_boxes)[0], ref_boxes,
+                               atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(my_scores)[0], ref_scores,
+                               atol=1e-5, rtol=1e-4)
+
+
+# --------------------------------------------------------------- vfnet
+def test_vfnet_get_bboxes_matches_reference():
+    """VFNet refined-branch decode (reference vfnet_head.py
+    ::_get_bboxes_single: IoU-aware scores, distance decode, clip)."""
+    import torch
+    heads = refbridge.ref_import('mmdet.models.dense_heads')
+    ref = heads.VFNetHead(num_classes=NUM_CLASSES, in_channels=32,
+                          feat_channels=32, stacked_convs=1,
+                          strides=list(STRIDES), test_cfg=_cfg())
+    ref.requires_grad_(False)
+    cls_maps = _maps(NUM_CLASSES)
+    reg_maps = [np.abs(m) * 4 for m in _maps(4)]      # unused coarse branch
+    refine_maps = [np.abs(m) * 8 for m in _maps(4)]   # refined distances
+    with torch.no_grad():
+        out = ref.get_bboxes(
+            [torch.from_numpy(m) for m in cls_maps],
+            [torch.from_numpy(m) for m in reg_maps],
+            [torch.from_numpy(m) for m in refine_maps],
+            img_metas=_img_metas(), with_nms=False)[0]
+    ref_boxes = refbridge.to_numpy(out[0])
+    ref_scores = refbridge.to_numpy(out[1])[:, :NUM_CLASSES]
+
+    from tpudet.models.dense_heads.vfnet_head import VFNetHead
+    head = VFNetHead(num_classes=NUM_CLASSES, in_channels=32)
+    my_boxes, my_scores = head.get_bboxes(
+        (_to_nhwc(cls_maps), _to_nhwc(reg_maps), _to_nhwc(refine_maps)),
+        img_shape=(S, S), with_nms=False)
+    np.testing.assert_allclose(np.asarray(my_boxes)[0], ref_boxes,
+                               atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(my_scores)[0], ref_scores,
+                               atol=1e-5, rtol=1e-4)

@@ -181,9 +181,13 @@ def single_device_test(model, variables, dataset, batch_size: int = 8,
         raise ValueError('TTA with masks is not supported')
 
     @jax.jit
-    def infer(variables, img, scale_factor):
+    def infer(variables, img, scale_factor, img_hw):
         pred_maps = model.apply(variables, img)
-        return model.get_bboxes(pred_maps, scale_factors=scale_factor)
+        # per-image (h, w) columns broadcast inside the heads' decode
+        # clipping (reference _get_bboxes clips to each image's unpadded
+        # img_shape before rescaling)
+        return model.get_bboxes(pred_maps, scale_factors=scale_factor,
+                                img_shape=(img_hw[:, 0:1], img_hw[:, 1:2]))
 
     @jax.jit
     def infer_tta(variables, img, scale_factor):
@@ -232,7 +236,11 @@ def single_device_test(model, variables, dataset, batch_size: int = 8,
             res = infer_tta(variables, batch['img'],
                             batch['scale_factor'])
         elif mode is None:
-            res = infer(variables, batch['img'], batch['scale_factor'])
+            img_hw = np.array([m['img_shape'][:2] if m.get('img_shape')
+                               else batch['img'].shape[1:3]
+                               for m in batch['img_metas']], np.float32)
+            res = infer(variables, batch['img'], batch['scale_factor'],
+                        img_hw)
         else:
             res, mask_probs = infer_masks(variables, batch['img'],
                                           batch['scale_factor'])

@@ -267,7 +267,10 @@ class RepPointsHead(nn.Module):
     # ------------------------------------------------------------------
     def get_bboxes(self, preds, scale_factors=None, score_thr: float = 0.05,
                    iou_thr: float = 0.5, max_per_img: int = 100,
-                   nms_pre: int = 1000, **kwargs):
+                   nms_pre: int = 1000, img_shape=None,
+                   with_nms: bool = True, **kwargs):
+        """NMS over the refined boxes (reference reppoints_head.py
+        _get_bboxes: corners clamped to ``img_shape``)."""
         cls_scores, _, refine_boxes = preds
         b = cls_scores[0].shape[0]
         boxes_all, scores_all = [], []
@@ -276,7 +279,13 @@ class RepPointsHead(nn.Module):
                 cls_scores[lvl].reshape(b, -1, self.num_classes).astype(
                     jnp.float32))
             boxes = refine_boxes[lvl]
-            k = min(nms_pre, scores.shape[1])
+            if img_shape is not None:
+                boxes = jnp.stack([
+                    jnp.clip(boxes[..., 0], 0, img_shape[1]),
+                    jnp.clip(boxes[..., 1], 0, img_shape[0]),
+                    jnp.clip(boxes[..., 2], 0, img_shape[1]),
+                    jnp.clip(boxes[..., 3], 0, img_shape[0])], axis=-1)
+            k = min(nms_pre, scores.shape[1]) if with_nms else 0
             if 0 < k < scores.shape[1]:
                 max_s = jnp.max(scores, axis=-1)
                 _, topk = jax.lax.top_k(max_s, k)
@@ -288,5 +297,7 @@ class RepPointsHead(nn.Module):
         scores = jnp.concatenate(scores_all, axis=1)
         if scale_factors is not None:
             bbox = bbox / scale_factors[:, None, :]
+        if not with_nms:
+            return bbox, scores
         return batched_nms(bbox, scores, score_thr, iou_thr, max_per_img,
                            nms_pre=2048)

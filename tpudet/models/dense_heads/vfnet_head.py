@@ -143,8 +143,11 @@ class VFNetHead(nn.Module):
         pts, anchors, counts = [], [], []
         for i, (h, w) in enumerate(featmap_sizes):
             s = self.strides[i]
-            xs = (np.tile(np.arange(w, dtype=np.float32), h) + 0.5) * s
-            ys = (np.repeat(np.arange(h, dtype=np.float32), w) + 0.5) * s
+            # reference VFNet anchors/points use center_offset=0.0
+            # (vfnet_r50_fpn_1x_coco.py anchor_generator, _get_points_single
+            # stride * anchor_center_offset) — points sit at x*stride
+            xs = np.tile(np.arange(w, dtype=np.float32), h) * s
+            ys = np.repeat(np.arange(h, dtype=np.float32), w) * s
             pts.append(np.stack([xs, ys], -1))
             half = self.anchor_scale * s / 2
             anchors.append(np.stack([xs - half, ys - half, xs + half,
@@ -218,7 +221,11 @@ class VFNetHead(nn.Module):
     # ------------------------------------------------------------------
     def get_bboxes(self, preds, scale_factors=None, score_thr: float = 0.05,
                    iou_thr: float = 0.6, max_per_img: int = 100,
-                   nms_pre: int = 1000, **kwargs):
+                   nms_pre: int = 1000, img_shape=None,
+                   with_nms: bool = True, **kwargs):
+        """Decode + NMS (reference vfnet_head.py::_get_bboxes_single:
+        top-k by the IoU-aware score, refined-branch distance decode
+        clipped to ``img_shape``)."""
         cls_scores, _, bbox_refine = preds
         featmap_sizes = [tuple(c.shape[1:3]) for c in cls_scores]
         b = cls_scores[0].shape[0]
@@ -227,13 +234,14 @@ class VFNetHead(nn.Module):
         for lvl in range(len(cls_scores)):
             h, w = featmap_sizes[lvl]
             s = self.strides[lvl]
-            xs = (jnp.tile(jnp.arange(w, dtype=jnp.float32), h) + 0.5) * s
-            ys = (jnp.repeat(jnp.arange(h, dtype=jnp.float32), w) + 0.5) * s
+            # center_offset=0.0 points (see _points_and_anchors)
+            xs = jnp.tile(jnp.arange(w, dtype=jnp.float32), h) * s
+            ys = jnp.repeat(jnp.arange(h, dtype=jnp.float32), w) * s
             scores = jax.nn.sigmoid(
                 cls_scores[lvl].reshape(b, -1, self.num_classes).astype(
                     jnp.float32))
             ltrb = bbox_refine[lvl].reshape(b, -1, 4)
-            k = min(nms_pre, scores.shape[1])
+            k = min(nms_pre, scores.shape[1]) if with_nms else 0
             if 0 < k < scores.shape[1]:
                 max_s = jnp.max(scores, axis=-1)
                 _, topk = jax.lax.top_k(max_s, k)
@@ -244,13 +252,21 @@ class VFNetHead(nn.Module):
             else:
                 xs = jnp.broadcast_to(xs[None], (b,) + xs.shape)
                 ys = jnp.broadcast_to(ys[None], (b,) + ys.shape)
-            boxes = jnp.stack([xs - ltrb[..., 0], ys - ltrb[..., 1],
-                               xs + ltrb[..., 2], ys + ltrb[..., 3]], -1)
+            x1, y1 = xs - ltrb[..., 0], ys - ltrb[..., 1]
+            x2, y2 = xs + ltrb[..., 2], ys + ltrb[..., 3]
+            if img_shape is not None:  # distance2bbox max_shape clip
+                x1 = jnp.clip(x1, 0, img_shape[1])
+                y1 = jnp.clip(y1, 0, img_shape[0])
+                x2 = jnp.clip(x2, 0, img_shape[1])
+                y2 = jnp.clip(y2, 0, img_shape[0])
+            boxes = jnp.stack([x1, y1, x2, y2], -1)
             boxes_all.append(boxes)
             scores_all.append(scores)
         bbox = jnp.concatenate(boxes_all, axis=1)
         scores = jnp.concatenate(scores_all, axis=1)
         if scale_factors is not None:
             bbox = bbox / scale_factors[:, None, :]
+        if not with_nms:
+            return bbox, scores
         return batched_nms(bbox, scores, score_thr, iou_thr, max_per_img,
                            nms_pre=2048)

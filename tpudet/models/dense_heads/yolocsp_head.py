@@ -153,8 +153,11 @@ class YOLOCSPHead(nn.Module):
                    with_nms: bool = True,
                    nms_type: str = 'nms',
                    sigma: float = 0.5,
-                   min_score: float = 1e-3):
-        """Batched decode + padded class-aware NMS.
+                   min_score: float = 1e-3,
+                   **kwargs):
+        """Batched decode + padded class-aware NMS. ``**kwargs`` absorbs
+        ``img_shape`` from the shared eval path — the reference
+        yolocsp_head.py does NOT clip decode to the image.
 
         ``anchor_pre`` prunes to the top-k anchors by objectness BEFORE
         flattening the class axis — score = cls*conf <= conf, so an anchor

@@ -145,7 +145,11 @@ class YOLOFHead(nn.Module):
     # ------------------------------------------------------------------
     def get_bboxes(self, preds, scale_factors=None, score_thr: float = 0.05,
                    iou_thr: float = 0.6, max_per_img: int = 100,
-                   nms_pre: int = 1000, **kwargs):
+                   nms_pre: int = 1000, img_shape=None,
+                   with_nms: bool = True, **kwargs):
+        """Decode + NMS (reference anchor_head.py::_get_bboxes shared
+        path: top-k by max sigmoid score, ctr-clamped DeltaXYWH decode
+        clipped to ``img_shape``)."""
         cls_scores, bbox_preds = preds
         featmap_size = tuple(cls_scores[0].shape[1:3])
         anchors = jnp.asarray(self._anchors(featmap_size))
@@ -154,7 +158,7 @@ class YOLOFHead(nn.Module):
             cls_scores[0].reshape(b, -1, self.num_classes).astype(
                 jnp.float32))
         deltas = bbox_preds[0].reshape(b, -1, 4).astype(jnp.float32)
-        k = min(nms_pre, scores.shape[1])
+        k = min(nms_pre, scores.shape[1]) if with_nms else 0
         if 0 < k < scores.shape[1]:
             max_scores = jnp.max(scores, axis=-1)
             _, topk = jax.lax.top_k(max_scores, k)
@@ -163,8 +167,11 @@ class YOLOFHead(nn.Module):
             sel_anchors = anchors[topk]
         else:
             sel_anchors = jnp.broadcast_to(anchors[None], (b,) + anchors.shape)
-        boxes = self.bbox_coder.decode(sel_anchors, deltas)
+        boxes = self.bbox_coder.decode(sel_anchors, deltas,
+                                       max_shape=img_shape)
         if scale_factors is not None:
             boxes = boxes / scale_factors[:, None, :]
+        if not with_nms:
+            return boxes, scores
         return batched_nms(boxes, scores, score_thr, iou_thr, max_per_img,
                            nms_pre=min(4096, boxes.shape[1]))

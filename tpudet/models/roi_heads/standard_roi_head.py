@@ -239,19 +239,38 @@ class StandardRoIHead(nn.Module):
     # ------------------------------------------------------------------
     def get_bboxes(self, rois, roi_valid, cls_logits, deltas,
                    scale_factors=None, score_thr: float = 0.05,
-                   iou_thr: float = 0.5, max_per_img: int = 100, **kwargs):
+                   iou_thr: float = 0.5, max_per_img: int = 100,
+                   img_shape=None, **kwargs):
+        """Final decode + class-aware NMS (reference
+        bbox_head.py::get_bboxes: softmax scores with the bg column
+        stripped, per-class DeltaXYWH decode clipped to ``img_shape``,
+        multiclass_nms)."""
         scores = jax.nn.softmax(cls_logits.astype(jnp.float32),
                                 axis=-1)[..., :-1]  # (B, P, C)
         scores = scores * roi_valid[..., None]
         b, p = rois.shape[:2]
+
+        def bound(v, extra_dims):
+            # per-image (B, 1) bounds reshape to broadcast over the
+            # (B, P[, C]) coordinate planes; python scalars pass through
+            if hasattr(v, 'ndim') and getattr(v, 'ndim', 0) >= 1:
+                return jnp.reshape(v, (-1,) + (1,) * extra_dims)
+            return v
+
         if deltas.shape[-1] == 4:
-            boxes = self.bbox_coder.decode(rois, deltas.astype(jnp.float32))
+            shp = None if img_shape is None else (
+                bound(img_shape[0], 1), bound(img_shape[1], 1))
+            boxes = self.bbox_coder.decode(rois, deltas.astype(jnp.float32),
+                                           max_shape=shp)
             boxes_pc = jnp.broadcast_to(boxes[:, :, None],
                                         (b, p, self.num_classes, 4))
         else:
             reg = deltas.reshape(b, p, self.num_classes, 4).astype(
                 jnp.float32)
-            boxes_pc = self.bbox_coder.decode(rois[:, :, None], reg)
+            shp = None if img_shape is None else (
+                bound(img_shape[0], 2), bound(img_shape[1], 2))
+            boxes_pc = self.bbox_coder.decode(rois[:, :, None], reg,
+                                              max_shape=shp)
         if scale_factors is not None:
             boxes_pc = boxes_pc / scale_factors[:, None, None, :]
         # per-pair (roi, class) candidates with their own boxes: run the
