@@ -299,3 +299,44 @@ def test_responsible_indices_parity(neighbor):
                             my_set.add((b, int(idx[b, gi, a, o]), gi))
         assert my_set == ref_set, (
             f'level {lvl}: {len(my_set ^ ref_set)} differing triples')
+
+
+def test_class_sorted_and_dense_nms_match_reference_multiclass_nms():
+    """The shipped per-class-budget NMS and the exact dense per-class NMS
+    must reproduce the reference multiclass_nms detection set (reference
+    mmdet/core/post_processing/bbox_nms.py:7)."""
+    import torch
+    post = refbridge.ref_import('mmdet.core.post_processing')
+    import jax.numpy as jnp
+
+    from tpudet.core.nms import batched_class_sorted_nms, \
+        batched_dense_class_nms
+
+    n, c = 400, 6
+    xy = RNG.rand(n, 2).astype(np.float32) * 100
+    wh = RNG.rand(n, 2).astype(np.float32) * 30 + 4
+    boxes = np.concatenate([xy, xy + wh], -1)
+    scores = (RNG.rand(n, c + 1).astype(np.float32)) ** 2  # + bg column
+
+    ref_dets, ref_labels = post.multiclass_nms(
+        torch.from_numpy(boxes), torch.from_numpy(scores),
+        score_thr=0.3, nms_cfg=dict(type='nms', iou_threshold=0.5),
+        max_num=100)
+    ref_dets = refbridge.to_numpy(ref_dets)
+    ref_labels = refbridge.to_numpy(ref_labels)
+    n_ref = len(ref_dets)
+
+    for fn, kw in ((batched_class_sorted_nms, dict(class_pre=400)),
+                   (batched_dense_class_nms, dict())):
+        out = fn(jnp.asarray(boxes)[None], jnp.asarray(scores[:, :c])[None],
+                 0.3, 0.5, 100, **kw)
+        valid = np.asarray(out.valid)[0].astype(bool)
+        assert valid.sum() == n_ref, fn.__name__
+        np.testing.assert_allclose(np.asarray(out.bboxes)[0][:n_ref],
+                                   ref_dets[:, :4], atol=1e-3,
+                                   err_msg=fn.__name__)
+        np.testing.assert_allclose(np.asarray(out.scores)[0][:n_ref],
+                                   ref_dets[:, 4], atol=1e-5,
+                                   err_msg=fn.__name__)
+        np.testing.assert_array_equal(np.asarray(out.labels)[0][:n_ref],
+                                      ref_labels, err_msg=fn.__name__)
