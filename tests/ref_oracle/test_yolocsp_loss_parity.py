@@ -154,3 +154,156 @@ def test_retina_loss_matches_reference():
     np.testing.assert_allclose(float(mine['loss_cls']), ref_cls, rtol=1e-4)
     np.testing.assert_allclose(float(mine['loss_bbox']), ref_bbox,
                                rtol=1e-4)
+
+
+def test_fcos_loss_matches_reference():
+    """FCOS training loss (reference fcos_head.py::loss: regress-range
+    point assignment, min-area tie-break, IoU loss weighted by centerness
+    targets, BCE centerness) — fully deterministic, no sampling."""
+    import torch
+    heads = refbridge.ref_import('mmdet.models.dense_heads')
+    s_img = 128
+    strides = (8, 16, 32, 64, 128)
+    ref = heads.FCOSHead(
+        num_classes=NUM_CLASSES, in_channels=8, feat_channels=32,
+        stacked_convs=1, strides=list(strides),
+        loss_cls=dict(type='FocalLoss', use_sigmoid=True, gamma=2.0,
+                      alpha=0.25, loss_weight=1.0),
+        loss_bbox=dict(type='IoULoss', loss_weight=1.0),
+        loss_centerness=dict(type='CrossEntropyLoss', use_sigmoid=True,
+                             loss_weight=1.0))
+    ref.requires_grad_(False)
+    cls_maps = [
+        (RNG.randn(2, NUM_CLASSES, s_img // s, s_img // s)).astype(
+            np.float32) for s in strides
+    ]
+    reg_maps = [
+        np.abs(RNG.randn(2, 4, s_img // s, s_img // s) * 8).astype(
+            np.float32) for s in strides
+    ]
+    ctr_maps = [
+        (RNG.randn(2, 1, s_img // s, s_img // s)).astype(np.float32)
+        for s in strides
+    ]
+    boxes = []
+    for _ in range(3):
+        x, y = RNG.rand(2) * 60
+        w, h = RNG.rand(2) * 50 + 12
+        boxes.append([x, y, min(x + w, s_img - 1), min(y + h, s_img - 1)])
+    gt_boxes = np.array(boxes, np.float32)
+    gt_labels = RNG.randint(0, NUM_CLASSES, size=3).astype(np.int64)
+
+    with torch.no_grad():
+        # reference FCOS loss exp()s the raw reg map inside forward — it
+        # receives distances directly in loss(), already positive here
+        ref_losses = ref.loss(
+            [torch.from_numpy(m) for m in cls_maps],
+            [torch.from_numpy(m) for m in reg_maps],
+            [torch.from_numpy(m) for m in ctr_maps],
+            [torch.from_numpy(gt_boxes), torch.from_numpy(gt_boxes[:2])],
+            [torch.from_numpy(gt_labels), torch.from_numpy(gt_labels[:2])],
+            img_metas=[{'img_shape': (s_img, s_img, 3)}] * 2)
+    ref_cls = float(ref_losses['loss_cls'])
+    ref_bbox = float(ref_losses['loss_bbox'])
+    ref_ctr = float(ref_losses['loss_centerness'])
+
+    from tpudet.models.dense_heads.fcos_head import FCOSHead
+    head = FCOSHead(num_classes=NUM_CLASSES, in_channels=8)
+    G = 4
+    pad_boxes = np.zeros((2, G, 4), np.float32)
+    pad_boxes[0, :3] = gt_boxes
+    pad_boxes[1, :2] = gt_boxes[:2]
+    pad_labels = np.zeros((2, G), np.int32)
+    pad_labels[0, :3] = gt_labels
+    pad_labels[1, :2] = gt_labels[:2]
+    valid = np.zeros((2, G), bool)
+    valid[0, :3] = True
+    valid[1, :2] = True
+    mine = head.loss(
+        (tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1)))
+               for m in cls_maps),
+         tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1)))
+               for m in reg_maps),
+         tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1)))
+               for m in ctr_maps)),
+        jnp.asarray(pad_boxes), jnp.asarray(pad_labels), jnp.asarray(valid))
+    np.testing.assert_allclose(float(mine['loss_cls']), ref_cls, rtol=1e-4)
+    np.testing.assert_allclose(float(mine['loss_bbox']), ref_bbox,
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(mine['loss_centerness']), ref_ctr,
+                               rtol=1e-4)
+
+
+def test_gfl_loss_matches_reference():
+    """GFL training loss (reference gfl_head.py::loss: ATSS assignment,
+    QFL with decoded-IoU quality targets, DFL on integral bins, GIoU
+    weighted by the predicted max-score and normalized by its sum)."""
+    import torch
+    heads = refbridge.ref_import('mmdet.models.dense_heads')
+    s_img = 128
+    strides = (8, 16, 32, 64, 128)
+    reg_max = 16
+    ref = heads.GFLHead(
+        num_classes=NUM_CLASSES, in_channels=8, feat_channels=32,
+        stacked_convs=1, reg_max=reg_max,
+        anchor_generator=dict(type='AnchorGenerator', ratios=[1.0],
+                              octave_base_scale=8, scales_per_octave=1,
+                              strides=list(strides)),
+        loss_cls=dict(type='QualityFocalLoss', use_sigmoid=True, beta=2.0,
+                      loss_weight=1.0),
+        loss_dfl=dict(type='DistributionFocalLoss', loss_weight=0.25),
+        loss_bbox=dict(type='GIoULoss', loss_weight=2.0),
+        train_cfg=refbridge.ref_import('mmcv').Config(dict(
+            assigner=dict(type='ATSSAssigner', topk=9),
+            allowed_border=-1, pos_weight=-1, debug=False)))
+    ref.requires_grad_(False)
+    cls_maps = [
+        (RNG.randn(2, NUM_CLASSES, s_img // s, s_img // s)).astype(
+            np.float32) for s in strides
+    ]
+    reg_maps = [
+        (RNG.randn(2, 4 * (reg_max + 1), s_img // s, s_img // s)).astype(
+            np.float32) for s in strides
+    ]
+    boxes = []
+    for _ in range(3):
+        x, y = RNG.rand(2) * 60
+        w, h = RNG.rand(2) * 50 + 12
+        boxes.append([x, y, min(x + w, s_img - 1), min(y + h, s_img - 1)])
+    gt_boxes = np.array(boxes, np.float32)
+    gt_labels = RNG.randint(0, NUM_CLASSES, size=3).astype(np.int64)
+
+    with torch.no_grad():
+        ref_losses = ref.loss(
+            [torch.from_numpy(m) for m in cls_maps],
+            [torch.from_numpy(m) for m in reg_maps],
+            [torch.from_numpy(gt_boxes), torch.from_numpy(gt_boxes[:2])],
+            [torch.from_numpy(gt_labels), torch.from_numpy(gt_labels[:2])],
+            img_metas=[{'img_shape': (s_img, s_img, 3),
+                        'pad_shape': (s_img, s_img, 3)}] * 2)
+    ref_cls = sum(float(v) for v in ref_losses['loss_cls'])
+    ref_bbox = sum(float(v) for v in ref_losses['loss_bbox'])
+    ref_dfl = sum(float(v) for v in ref_losses['loss_dfl'])
+
+    from tpudet.models.dense_heads.gfl_head import GFLHead
+    head = GFLHead(num_classes=NUM_CLASSES, in_channels=8, reg_max=reg_max)
+    G = 4
+    pad_boxes = np.zeros((2, G, 4), np.float32)
+    pad_boxes[0, :3] = gt_boxes
+    pad_boxes[1, :2] = gt_boxes[:2]
+    pad_labels = np.zeros((2, G), np.int32)
+    pad_labels[0, :3] = gt_labels
+    pad_labels[1, :2] = gt_labels[:2]
+    valid = np.zeros((2, G), bool)
+    valid[0, :3] = True
+    valid[1, :2] = True
+    mine = head.loss(
+        (tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1)))
+               for m in cls_maps),
+         tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1)))
+               for m in reg_maps)),
+        jnp.asarray(pad_boxes), jnp.asarray(pad_labels), jnp.asarray(valid))
+    np.testing.assert_allclose(float(mine['loss_cls']), ref_cls, rtol=1e-4)
+    np.testing.assert_allclose(float(mine['loss_bbox']), ref_bbox,
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(mine['loss_dfl']), ref_dfl, rtol=1e-4)

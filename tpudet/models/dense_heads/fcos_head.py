@@ -175,8 +175,15 @@ class FCOSHead(nn.Module):
         pred_boxes = decode(reg_flat)
         tgt_boxes = decode(jnp.clip(tgt_ltrb, 0., None))
         w = ctr_tgt * pos
-        loss_bbox = L.giou_loss(pred_boxes, tgt_boxes, weight=w,
-                                avg_factor=jnp.maximum(jnp.sum(w), 1e-6))
+        # reference FCOS regresses with plain IoULoss = -log(IoU)
+        # (configs/fcos/*: loss_bbox IoULoss; fcos_head.py:246-250), NOT
+        # GIoU — weighted by the centerness targets, normalized by their
+        # sum. Padded rows carry w=0 but still flow through -log(IoU):
+        # feed them their own prediction so the log stays finite.
+        tgt_safe = jnp.where((w > 0)[..., None], tgt_boxes,
+                             jax.lax.stop_gradient(pred_boxes))
+        loss_bbox = L.iou_loss(pred_boxes, tgt_safe, weight=w,
+                               avg_factor=jnp.maximum(jnp.sum(w), 1e-6))
         loss_ctr = L.bce_loss(ctr_flat, ctr_tgt,
                               weight=pos.astype(jnp.float32),
                               avg_factor=num_pos)

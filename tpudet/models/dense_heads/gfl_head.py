@@ -132,22 +132,31 @@ class GFLHead(nn.Module):
         loss_qfl = L.quality_focal_loss(cls_flat, labels, quality,
                                         avg_factor=num_pos)
 
-        # target distances in bin units, clipped inside the distribution
+        # GIoU/DFL sample weight = the PREDICTED max class score at
+        # positives (reference gfl_head.py loss_single: weight_targets =
+        # cls_score.detach().sigmoid().max(dim=1)[0]; the decoded IoU is
+        # only the QFL quality target), normalized by its global sum
+        w = jax.lax.stop_gradient(
+            jnp.max(jax.nn.sigmoid(cls_flat), axis=-1)) * pos
+        w_sum = jnp.maximum(jnp.sum(w), 1e-6)
+
+        # target distances in bin units, clamped like the reference's
+        # bbox2distance (max_dis=reg_max, clamp at max_dis - 0.1)
         tl = (centers[None, :, 0] - matched[..., 0]) / stride_per_anchor
         tt = (centers[None, :, 1] - matched[..., 1]) / stride_per_anchor
         tr = (matched[..., 2] - centers[None, :, 0]) / stride_per_anchor
         tb = (matched[..., 3] - centers[None, :, 1]) / stride_per_anchor
         tgt = jnp.clip(jnp.stack([tl, tt, tr, tb], -1), 0,
-                       self.reg_max - 0.01)
+                       self.reg_max - 0.1)
         shape = reg_flat.shape[:-1] + (4, self.reg_max + 1)
         loss_dfl = L.distribution_focal_loss(
             reg_flat.reshape(shape), tgt,
-            weight=(quality[..., None] * pos[..., None]),
-            avg_factor=jnp.maximum(jnp.sum(quality), 1e-6) * 4,
+            weight=(w[..., None] * pos[..., None]),
+            avg_factor=w_sum * 4,
             loss_weight=self.loss_dfl_weight)
         loss_bbox = L.giou_loss(
-            pred_boxes, matched, weight=quality,
-            avg_factor=jnp.maximum(jnp.sum(quality), 1e-6),
+            pred_boxes, matched, weight=w,
+            avg_factor=w_sum,
             loss_weight=self.loss_bbox_weight)
         return dict(loss_cls=loss_qfl, loss_bbox=loss_bbox,
                     loss_dfl=loss_dfl,
