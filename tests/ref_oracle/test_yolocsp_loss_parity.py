@@ -307,3 +307,157 @@ def test_gfl_loss_matches_reference():
     np.testing.assert_allclose(float(mine['loss_bbox']), ref_bbox,
                                rtol=1e-4)
     np.testing.assert_allclose(float(mine['loss_dfl']), ref_dfl, rtol=1e-4)
+
+
+def test_atss_loss_matches_reference():
+    """ATSS training loss (reference atss_head.py::loss: ATSS assignment,
+    focal cls over num_total_pos, GIoU on DeltaXYWH-decoded boxes
+    weighted by centerness targets and normalized by their clamped sum,
+    BCE centerness)."""
+    import torch
+    heads = refbridge.ref_import('mmdet.models.dense_heads')
+    s_img = 128
+    strides = (8, 16, 32, 64, 128)
+    ref = heads.ATSSHead(
+        num_classes=NUM_CLASSES, in_channels=8, feat_channels=32,
+        stacked_convs=1,
+        anchor_generator=dict(type='AnchorGenerator', ratios=[1.0],
+                              octave_base_scale=8, scales_per_octave=1,
+                              strides=list(strides)),
+        bbox_coder=dict(type='DeltaXYWHBBoxCoder', target_means=[0.0] * 4,
+                        target_stds=[0.1, 0.1, 0.2, 0.2]),
+        loss_cls=dict(type='FocalLoss', use_sigmoid=True, gamma=2.0,
+                      alpha=0.25, loss_weight=1.0),
+        loss_bbox=dict(type='GIoULoss', loss_weight=2.0),
+        loss_centerness=dict(type='CrossEntropyLoss', use_sigmoid=True,
+                             loss_weight=1.0),
+        train_cfg=refbridge.ref_import('mmcv').Config(dict(
+            assigner=dict(type='ATSSAssigner', topk=9),
+            allowed_border=-1, pos_weight=-1, debug=False)))
+    ref.requires_grad_(False)
+    cls_maps = [
+        (RNG.randn(2, NUM_CLASSES, s_img // s, s_img // s)).astype(
+            np.float32) for s in strides
+    ]
+    reg_maps = [
+        (RNG.randn(2, 4, s_img // s, s_img // s) * 0.5).astype(np.float32)
+        for s in strides
+    ]
+    ctr_maps = [
+        (RNG.randn(2, 1, s_img // s, s_img // s)).astype(np.float32)
+        for s in strides
+    ]
+    boxes = []
+    for _ in range(3):
+        x, y = RNG.rand(2) * 60
+        w, h = RNG.rand(2) * 50 + 12
+        boxes.append([x, y, min(x + w, s_img - 1), min(y + h, s_img - 1)])
+    gt_boxes = np.array(boxes, np.float32)
+    gt_labels = RNG.randint(0, NUM_CLASSES, size=3).astype(np.int64)
+
+    with torch.no_grad():
+        ref_losses = ref.loss(
+            [torch.from_numpy(m) for m in cls_maps],
+            [torch.from_numpy(m) for m in reg_maps],
+            [torch.from_numpy(m) for m in ctr_maps],
+            [torch.from_numpy(gt_boxes), torch.from_numpy(gt_boxes[:2])],
+            [torch.from_numpy(gt_labels), torch.from_numpy(gt_labels[:2])],
+            img_metas=[{'img_shape': (s_img, s_img, 3),
+                        'pad_shape': (s_img, s_img, 3)}] * 2)
+    ref_cls = sum(float(v) for v in ref_losses['loss_cls'])
+    ref_bbox = sum(float(v) for v in ref_losses['loss_bbox'])
+    ref_ctr = sum(float(v) for v in ref_losses['loss_centerness'])
+
+    from tpudet.models.dense_heads.atss_head import ATSSHead
+    head = ATSSHead(num_classes=NUM_CLASSES, in_channels=8)
+    G = 4
+    pad_boxes = np.zeros((2, G, 4), np.float32)
+    pad_boxes[0, :3] = gt_boxes
+    pad_boxes[1, :2] = gt_boxes[:2]
+    pad_labels = np.zeros((2, G), np.int32)
+    pad_labels[0, :3] = gt_labels
+    pad_labels[1, :2] = gt_labels[:2]
+    valid = np.zeros((2, G), bool)
+    valid[0, :3] = True
+    valid[1, :2] = True
+    mine = head.loss(
+        (tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1)))
+               for m in cls_maps),
+         tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1)))
+               for m in reg_maps),
+         tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1)))
+               for m in ctr_maps)),
+        jnp.asarray(pad_boxes), jnp.asarray(pad_labels), jnp.asarray(valid))
+    np.testing.assert_allclose(float(mine['loss_cls']), ref_cls, rtol=1e-4)
+    np.testing.assert_allclose(float(mine['loss_bbox']), ref_bbox,
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(mine['loss_centerness']), ref_ctr,
+                               rtol=1e-4)
+
+
+def test_yolov3_loss_matches_reference():
+    """YOLOv3 training loss (reference yolo_head.py::loss: GridAssigner
+    responsible-cell targets, CE conf/cls/xy with negative-map masking,
+    MSE wh) — the upstream YOLO family's gradient step."""
+    import torch
+    heads = refbridge.ref_import('mmdet.models.dense_heads')
+    mmcv = refbridge.ref_import('mmcv')
+    s_img = 320
+    ref = heads.YOLOV3Head(
+        num_classes=NUM_CLASSES, in_channels=[8, 8, 8],
+        out_channels=[16, 16, 16],
+        # the published recipe's losses (yolov3_d53_mstrain-608: all
+        # reduction='sum', weights 1/1/2/2)
+        loss_cls=dict(type='CrossEntropyLoss', use_sigmoid=True,
+                      loss_weight=1.0, reduction='sum'),
+        loss_conf=dict(type='CrossEntropyLoss', use_sigmoid=True,
+                       loss_weight=1.0, reduction='sum'),
+        loss_xy=dict(type='CrossEntropyLoss', use_sigmoid=True,
+                     loss_weight=2.0, reduction='sum'),
+        loss_wh=dict(type='MSELoss', loss_weight=2.0, reduction='sum'),
+        train_cfg=mmcv.Config(dict(
+            assigner=dict(type='GridAssigner', pos_iou_thr=0.5,
+                          neg_iou_thr=0.5, min_pos_iou=0))))
+    ref.requires_grad_(False)
+    attrib = 5 + NUM_CLASSES
+    pred_maps = [
+        (RNG.randn(2, 3 * attrib, s_img // s, s_img // s)).astype(
+            np.float32) for s in (32, 16, 8)
+    ]
+    boxes = []
+    for _ in range(3):
+        x, y = RNG.rand(2) * 200
+        w, h = RNG.rand(2) * 100 + 16
+        boxes.append([x, y, min(x + w, s_img - 1), min(y + h, s_img - 1)])
+    gt_boxes = np.array(boxes, np.float32)
+    gt_labels = RNG.randint(0, NUM_CLASSES, size=3).astype(np.int64)
+
+    with torch.no_grad():
+        ref_losses = ref.loss(
+            [torch.from_numpy(m) for m in pred_maps],
+            [torch.from_numpy(gt_boxes), torch.from_numpy(gt_boxes[:2])],
+            [torch.from_numpy(gt_labels), torch.from_numpy(gt_labels[:2])],
+            img_metas=[{'img_shape': (s_img, s_img, 3),
+                        'pad_shape': (s_img, s_img, 3)}] * 2)
+    ref_vals = {k: sum(float(v) for v in vs)
+                for k, vs in ref_losses.items()}
+
+    from tpudet.models.dense_heads.yolov3_head import YOLOV3Head
+    head = YOLOV3Head(num_classes=NUM_CLASSES)
+    G = 4
+    pad_boxes = np.zeros((2, G, 4), np.float32)
+    pad_boxes[0, :3] = gt_boxes
+    pad_boxes[1, :2] = gt_boxes[:2]
+    pad_labels = np.zeros((2, G), np.int32)
+    pad_labels[0, :3] = gt_labels
+    pad_labels[1, :2] = gt_labels[:2]
+    valid = np.zeros((2, G), bool)
+    valid[0, :3] = True
+    valid[1, :2] = True
+    mine = head.loss(
+        tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1)))
+              for m in pred_maps),
+        jnp.asarray(pad_boxes), jnp.asarray(pad_labels), jnp.asarray(valid))
+    for key in ('loss_cls', 'loss_conf', 'loss_xy', 'loss_wh'):
+        np.testing.assert_allclose(float(mine[key]), ref_vals[key],
+                                   rtol=1e-4, err_msg=key)

@@ -144,9 +144,10 @@ class ATSSHead(nn.Module):
         # reference loss_single: GIoU(bbox_coder.decode(anchor, pred), gt)
         pred_boxes = self.bbox_coder.decode(anchors[None], reg_flat)
         w = ctr_tgt * pos
+        # reference atss_head.py:286: bbox_avg_factor clamps at min 1
         loss_bbox = L.giou_loss(
             pred_boxes, matched, weight=w,
-            avg_factor=jnp.maximum(jnp.sum(w), 1e-6),
+            avg_factor=jnp.maximum(jnp.sum(w), 1.0),
             loss_weight=self.loss_bbox_weight)
         loss_ctr = L.bce_loss(ctr_flat, ctr_tgt,
                               weight=pos.astype(jnp.float32),

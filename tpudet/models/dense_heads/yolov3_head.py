@@ -53,6 +53,11 @@ class YOLOV3Head(nn.Module):
     loss_conf_weight: float = 1.0
     loss_xy_weight: float = 2.0
     loss_wh_weight: float = 2.0
+    # the published yolov3 recipe SUMS loss elements instead of meaning
+    # them (configs/yolo/yolov3_d53_mstrain-608_273e_coco.py:25-40:
+    # reduction='sum' on all four losses) — 'mean' is the head-default
+    # fallback semantics (reference yolo_head.py:72-76)
+    loss_reduction: str = 'sum'
     dtype: Any = None
 
     @property
@@ -110,20 +115,35 @@ class YOLOV3Head(nn.Module):
         mlvl_anchors = gen.grid_anchors(featmap_sizes)
         coder = YOLOBBoxCoder()
 
+        # ONE grid assignment over the concatenated multi-level anchors
+        # (reference yolo_head.py:424-436 concatenates levels before
+        # GridAssigner): the per-gt forced-best anchor is global across
+        # levels — a per-level assign would force num_levels positives
+        # per gt instead of one.
+        counts = [len(a) for a in mlvl_anchors]
+        flat_anchors = jnp.asarray(np.concatenate(mlvl_anchors))
+        flat_responsible = jnp.concatenate([
+            self._responsible_mask(gt_bboxes, gt_valid, featmap_sizes[i],
+                                   float(self.featmap_strides[i]),
+                                   len(self.base_sizes[i]))
+            for i in range(self.num_levels)
+        ], axis=-1)
+        flat_assigned = grid_assign_batch(flat_anchors, flat_responsible,
+                                          gt_bboxes, gt_valid,
+                                          self.pos_iou_thr,
+                                          self.neg_iou_thr, 0.0)  # (B, A)
+
         total = dict(loss_cls=0., loss_conf=0., loss_xy=0., loss_wh=0.)
+        start = 0
         for lvl in range(self.num_levels):
             pred = pred_maps[lvl].astype(jnp.float32)
             b = pred.shape[0]
             pred = pred.reshape(b, -1, self.num_attrib)
             anchors = jnp.asarray(mlvl_anchors[lvl])
             stride = float(self.featmap_strides[lvl])
-            num_base = len(self.base_sizes[lvl])
-
-            responsible = self._responsible_mask(
-                gt_bboxes, gt_valid, featmap_sizes[lvl], stride, num_base)
-            assigned = grid_assign_batch(anchors, responsible, gt_bboxes,
-                                         gt_valid, self.pos_iou_thr,
-                                         self.neg_iou_thr, 0.0)  # (B, A)
+            assigned = jax.lax.dynamic_slice_in_dim(
+                flat_assigned, start, counts[lvl], axis=1)
+            start += counts[lvl]
             pos = (assigned >= 0).astype(jnp.float32)
             neg = (assigned == NEGATIVE).astype(jnp.float32)
             pos_and_neg = jnp.clip(pos + neg, 0., 1.)
@@ -143,10 +163,13 @@ class YOLOV3Head(nn.Module):
                 tcls = tcls * (1 - self.one_hot_smoother) + \
                     self.one_hot_smoother / self.num_classes
 
-            numel_cls = float(np.prod(
-                (b, pred.shape[1], self.num_classes)))
-            numel_1 = float(b * pred.shape[1])
-            numel_2 = float(b * pred.shape[1] * 2)
+            if self.loss_reduction == 'sum':
+                numel_cls = numel_1 = numel_2 = 1.0
+            else:
+                numel_cls = float(np.prod(
+                    (b, pred.shape[1], self.num_classes)))
+                numel_1 = float(b * pred.shape[1])
+                numel_2 = float(b * pred.shape[1] * 2)
             total['loss_cls'] += L.bce_loss(
                 pred[..., 5:], tcls, weight=pos[..., None],
                 avg_factor=numel_cls, loss_weight=self.loss_cls_weight)
