@@ -461,3 +461,82 @@ def test_yolov3_loss_matches_reference():
     for key in ('loss_cls', 'loss_conf', 'loss_xy', 'loss_wh'):
         np.testing.assert_allclose(float(mine[key]), ref_vals[key],
                                    rtol=1e-4, err_msg=key)
+
+
+def test_ssd_loss_matches_reference():
+    """SSD300 training loss (reference ssd_head.py::loss_single: MaxIoU
+    assignment with low-quality matches, softmax CE with 3:1 OHEM hard
+    negatives, smooth-L1 on encoded deltas, num_total_pos norm)."""
+    import torch
+    heads = refbridge.ref_import('mmdet.models.dense_heads')
+    mmcv = refbridge.ref_import('mmcv')
+    s_img = 300
+    strides = (8, 16, 32, 64, 100, 300)
+    feat_sizes = (38, 19, 10, 5, 3, 1)
+    ratios = ([2], [2, 3], [2, 3], [2, 3], [2], [2])
+    ref = heads.SSDHead(
+        num_classes=NUM_CLASSES,
+        in_channels=(8, 8, 8, 8, 8, 8),
+        anchor_generator=dict(
+            type='SSDAnchorGenerator', scale_major=False, input_size=300,
+            basesize_ratio_range=(0.15, 0.9), strides=list(strides),
+            ratios=[list(r) for r in ratios]),
+        bbox_coder=dict(type='DeltaXYWHBBoxCoder',
+                        target_means=[.0, .0, .0, .0],
+                        target_stds=[0.1, 0.1, 0.2, 0.2]),
+        train_cfg=mmcv.Config(dict(
+            assigner=dict(type='MaxIoUAssigner', pos_iou_thr=0.5,
+                          neg_iou_thr=0.5, min_pos_iou=0.,
+                          ignore_iof_thr=-1, gt_max_assign_all=False),
+            smoothl1_beta=1., allowed_border=-1, pos_weight=-1,
+            neg_pos_ratio=3, debug=False)))
+    ref.requires_grad_(False)
+    num_anchors = [2 + 2 * len(r) for r in ratios]
+    cls_maps = [
+        (RNG.randn(2, a * (NUM_CLASSES + 1), f, f)).astype(np.float32)
+        for a, f in zip(num_anchors, feat_sizes)
+    ]
+    reg_maps = [
+        (RNG.randn(2, a * 4, f, f) * 0.3).astype(np.float32)
+        for a, f in zip(num_anchors, feat_sizes)
+    ]
+    boxes = []
+    for _ in range(3):
+        x, y = RNG.rand(2) * 150
+        w, h = RNG.rand(2) * 120 + 30
+        boxes.append([x, y, min(x + w, s_img - 1), min(y + h, s_img - 1)])
+    gt_boxes = np.array(boxes, np.float32)
+    gt_labels = RNG.randint(0, NUM_CLASSES, size=3).astype(np.int64)
+
+    with torch.no_grad():
+        ref_losses = ref.loss(
+            [torch.from_numpy(m) for m in cls_maps],
+            [torch.from_numpy(m) for m in reg_maps],
+            [torch.from_numpy(gt_boxes), torch.from_numpy(gt_boxes[:2])],
+            [torch.from_numpy(gt_labels), torch.from_numpy(gt_labels[:2])],
+            img_metas=[{'img_shape': (s_img, s_img, 3),
+                        'pad_shape': (s_img, s_img, 3)}] * 2)
+    ref_cls = sum(float(v) for v in ref_losses['loss_cls'])
+    ref_bbox = sum(float(v) for v in ref_losses['loss_bbox'])
+
+    from tpudet.models.dense_heads.ssd_head import SSDHead
+    head = SSDHead(num_classes=NUM_CLASSES)
+    G = 4
+    pad_boxes = np.zeros((2, G, 4), np.float32)
+    pad_boxes[0, :3] = gt_boxes
+    pad_boxes[1, :2] = gt_boxes[:2]
+    pad_labels = np.zeros((2, G), np.int32)
+    pad_labels[0, :3] = gt_labels
+    pad_labels[1, :2] = gt_labels[:2]
+    valid = np.zeros((2, G), bool)
+    valid[0, :3] = True
+    valid[1, :2] = True
+    mine = head.loss(
+        (tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1)))
+               for m in cls_maps),
+         tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1)))
+               for m in reg_maps)),
+        jnp.asarray(pad_boxes), jnp.asarray(pad_labels), jnp.asarray(valid))
+    np.testing.assert_allclose(float(mine['loss_cls']), ref_cls, rtol=1e-4)
+    np.testing.assert_allclose(float(mine['loss_bbox']), ref_bbox,
+                               rtol=1e-4)
