@@ -463,6 +463,84 @@ def test_yolov3_loss_matches_reference():
                                    rtol=1e-4, err_msg=key)
 
 
+def test_fsaf_loss_matches_reference():
+    """FSAF training loss (reference fsaf_head.py::loss: CenterRegion
+    assignment with min_pos_iof + smallest-area contest + same-class
+    shadow override, elementwise focal/IoU, online level selection,
+    post-selection num_pos normalization)."""
+    import torch
+    heads = refbridge.ref_import('mmdet.models.dense_heads')
+    mmcv = refbridge.ref_import('mmcv')
+    s_img = 128
+    strides = (8, 16, 32, 64, 128)
+    ref = heads.FSAFHead(
+        num_classes=NUM_CLASSES, in_channels=8, feat_channels=32,
+        stacked_convs=1, reg_decoded_bbox=True,
+        anchor_generator=dict(type='AnchorGenerator', octave_base_scale=1,
+                              scales_per_octave=1, ratios=[1.0],
+                              strides=list(strides)),
+        bbox_coder=dict(type='TBLRBBoxCoder', normalizer=4.0),
+        loss_cls=dict(type='FocalLoss', use_sigmoid=True, gamma=2.0,
+                      alpha=0.25, loss_weight=1.0, reduction='none'),
+        loss_bbox=dict(type='IoULoss', eps=1e-6, loss_weight=1.0,
+                       reduction='none'),
+        train_cfg=mmcv.Config(dict(
+            assigner=dict(type='CenterRegionAssigner', pos_scale=0.2,
+                          neg_scale=0.2, min_pos_iof=0.01),
+            allowed_border=-1, pos_weight=-1, debug=False)))
+    ref.requires_grad_(False)
+    cls_maps = [
+        (RNG.randn(2, NUM_CLASSES, s_img // s, s_img // s)).astype(
+            np.float32) for s in strides
+    ]
+    reg_maps = [
+        (RNG.randn(2, 4, s_img // s, s_img // s) * 2).astype(np.float32)
+        for s in strides
+    ]
+    boxes = []
+    for _ in range(3):
+        x, y = RNG.rand(2) * 50
+        w, h = RNG.rand(2) * 60 + 16
+        boxes.append([x, y, min(x + w, s_img - 1), min(y + h, s_img - 1)])
+    gt_boxes = np.array(boxes, np.float32)
+    gt_labels = RNG.randint(0, NUM_CLASSES, size=3).astype(np.int64)
+
+    with torch.no_grad():
+        ref_losses = ref.loss(
+            [torch.from_numpy(m) for m in cls_maps],
+            [torch.from_numpy(m) for m in reg_maps],
+            [torch.from_numpy(gt_boxes), torch.from_numpy(gt_boxes[:2])],
+            [torch.from_numpy(gt_labels), torch.from_numpy(gt_labels[:2])],
+            img_metas=[{'img_shape': (s_img, s_img, 3),
+                        'pad_shape': (s_img, s_img, 3)}] * 2)
+    ref_cls = sum(float(v) for v in ref_losses['loss_cls'])
+    ref_bbox = sum(float(v) for v in ref_losses['loss_bbox'])
+    ref_num_pos = float(ref_losses['num_pos'])
+
+    from tpudet.models.dense_heads.fsaf_head import FSAFHead
+    head = FSAFHead(num_classes=NUM_CLASSES, in_channels=8)
+    G = 4
+    pad_boxes = np.zeros((2, G, 4), np.float32)
+    pad_boxes[0, :3] = gt_boxes
+    pad_boxes[1, :2] = gt_boxes[:2]
+    pad_labels = np.zeros((2, G), np.int32)
+    pad_labels[0, :3] = gt_labels
+    pad_labels[1, :2] = gt_labels[:2]
+    valid = np.zeros((2, G), bool)
+    valid[0, :3] = True
+    valid[1, :2] = True
+    mine = head.loss(
+        (tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1)))
+               for m in cls_maps),
+         tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1)))
+               for m in reg_maps)),
+        jnp.asarray(pad_boxes), jnp.asarray(pad_labels), jnp.asarray(valid))
+    np.testing.assert_allclose(float(mine['num_pos']), ref_num_pos)
+    np.testing.assert_allclose(float(mine['loss_cls']), ref_cls, rtol=1e-4)
+    np.testing.assert_allclose(float(mine['loss_bbox']), ref_bbox,
+                               rtol=1e-4)
+
+
 def test_ssd_loss_matches_reference():
     """SSD300 training loss (reference ssd_head.py::loss_single: MaxIoU
     assignment with low-quality matches, softmax CE with 3:1 OHEM hard

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...core.anchors import AnchorGenerator
-from ...core.bbox import TBLRBBoxCoder, bbox_overlaps_aligned
+from ...core.bbox import (TBLRBBoxCoder, bbox_overlaps,
+                          bbox_overlaps_aligned)
 from ...core.nms import batched_nms
 from ...registry import HEADS
 from .. import losses as L
@@ -138,35 +139,49 @@ class FSAFHead(nn.Module):
         def one_image(cls_s, reg_s, gts, labels, valid):
             core = self._scale_box(gts, self.pos_scale)
             shadow = self._scale_box(gts, self.neg_scale)
-            in_core = ((a_cx[:, None] >= core[None, :, 0]) &
-                       (a_cx[:, None] <= core[None, :, 2]) &
-                       (a_cy[:, None] >= core[None, :, 1]) &
-                       (a_cy[:, None] <= core[None, :, 3]) &
-                       valid[None, :])  # (A, G)
-            in_shadow = ((a_cx[:, None] >= shadow[None, :, 0]) &
-                         (a_cx[:, None] <= shadow[None, :, 2]) &
-                         (a_cy[:, None] >= shadow[None, :, 1]) &
-                         (a_cy[:, None] <= shadow[None, :, 3]) &
-                         valid[None, :])
+            # CenterRegionAssigner semantics (center_region_assigner.py:
+            # 174-196): positive pair = anchor center STRICTLY inside the
+            # FULL gt box AND IoF(anchor, core) > min_pos_iof; shadowed
+            # pair = IoF(anchor, shadow) > min_pos_iof and not a core pair.
+            min_pos_iof = 0.01
+            in_gt = ((a_cx[:, None] > gts[None, :, 0]) &
+                     (a_cx[:, None] < gts[None, :, 2]) &
+                     (a_cy[:, None] > gts[None, :, 1]) &
+                     (a_cy[:, None] < gts[None, :, 3]))
+            iof_core = bbox_overlaps(anchors, core, mode='iof')  # (A, G)
+            iof_shadow = bbox_overlaps(anchors, shadow, mode='iof')
+            core_pair = in_gt & (iof_core > min_pos_iof) & valid[None, :]
+            shadow0 = ((iof_shadow > min_pos_iof) & ~core_pair &
+                       valid[None, :])
             area = ((gts[:, 2] - gts[:, 0]) * (gts[:, 3] - gts[:, 1]))
-            key = jnp.where(in_core, area[None, :], INF)
+            key = jnp.where(core_pair, area[None, :], INF)
             win = jnp.argmin(key, axis=1).astype(jnp.int32)  # (A,)
-            pos = jnp.any(in_core, axis=1)
+            pos = jnp.any(core_pair, axis=1)
+            winner = (jax.nn.one_hot(win, gts.shape[0]) > 0) & pos[:, None]
+            # core pairs that lost the smallest-area contest are shadowed
+            # too (center_region_assigner.py:323-331)
+            shadow_pair = shadow0 | (core_pair & ~winner)
+
+            shadow_cls = jnp.einsum(
+                'ag,gc->ac', shadow_pair.astype(jnp.float32),
+                jax.nn.one_hot(labels, C)) > 0
+            lab = jnp.take(labels, win)
+            # override rule (center_region_assigner.py:239-247): a positive
+            # whose own class is shadowed by another gt is demoted to
+            # background with that class ignored
+            own_shadowed = jnp.take_along_axis(
+                shadow_cls, lab[:, None].astype(jnp.int32), axis=1)[:, 0]
+            pos = pos & ~own_shadowed
 
             # elementwise losses
-            lab = jnp.take(labels, win)
             onehot = jax.nn.one_hot(lab, C) * pos[:, None]
             cls_el = L.sigmoid_focal_loss(cls_s, onehot,
                                           gamma=self.focal_gamma,
                                           alpha=self.focal_alpha,
                                           reduction='none')  # (A, C)
-            # shadowed classes ignored unless that anchor is positive for
-            # that class (fsaf_head.py:166-172)
+            # shadowed (anchor, class) pairs ignored (fsaf_head.py:166-172)
             pos_cls = onehot > 0
-            shadow_cls = jnp.einsum(
-                'ag,gc->ac', in_shadow.astype(jnp.float32),
-                jax.nn.one_hot(labels, C)) > 0
-            cls_w = jnp.where(shadow_cls & ~pos_cls, 0., 1.)
+            cls_w = jnp.where(shadow_cls, 0., 1.)
 
             decoded = self.bbox_coder.decode(anchors, reg_s)
             tgt_box = gts[win]
