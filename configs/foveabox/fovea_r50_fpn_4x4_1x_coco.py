@@ -19,8 +19,16 @@ model = dict(
         stacked_convs=4,
         strides=[8, 16, 32, 64, 128],
         base_edge_list=[16, 32, 64, 128, 256],
-        scale_ranges=((8, 32), (16, 64), (32, 128), (64, 256), (128, 512)),
-        sigma=0.4),
+        # the published recipe's ranges + losses (reference
+        # configs/foveabox/fovea_r50_fpn_4x4_1x_coco.py:33-43), which
+        # override the FoveaHead class defaults
+        scale_ranges=((1, 64), (32, 128), (64, 256), (128, 512),
+                      (256, 2048)),
+        sigma=0.4,
+        focal_gamma=1.5,
+        focal_alpha=0.4,
+        smooth_l1_beta=0.11,
+        loss_bbox_weight=0.75),
     test_cfg=dict(
         nms_pre=1000,
         score_thr=0.05,

@@ -541,6 +541,79 @@ def test_fsaf_loss_matches_reference():
                                rtol=1e-4)
 
 
+def test_fovea_loss_matches_reference():
+    """FoveaBox training loss (reference fovea_head.py::loss: sqrt-area
+    scale assignment, sigma-shrunk fovea painting with smallest-area-wins
+    overwrite order, log-space base_edge targets clamped to [1/16,16],
+    focal over num_pos+num_imgs, smooth-L1(beta .11, weight .75) over
+    num_pos) — published recipe hyperparameters."""
+    import torch
+    heads = refbridge.ref_import('mmdet.models.dense_heads')
+    s_img = 128
+    strides = (8, 16, 32, 64, 128)
+    scale_ranges = ((1, 64), (32, 128), (64, 256), (128, 512), (256, 2048))
+    ref = heads.FoveaHead(
+        num_classes=NUM_CLASSES, in_channels=8, feat_channels=32,
+        stacked_convs=1, strides=list(strides),
+        base_edge_list=[16, 32, 64, 128, 256], scale_ranges=scale_ranges,
+        sigma=0.4,
+        loss_cls=dict(type='FocalLoss', use_sigmoid=True, gamma=1.5,
+                      alpha=0.4, loss_weight=1.0),
+        loss_bbox=dict(type='SmoothL1Loss', beta=0.11, loss_weight=0.75))
+    ref.requires_grad_(False)
+    cls_maps = [
+        (RNG.randn(2, NUM_CLASSES, s_img // s, s_img // s)).astype(
+            np.float32) for s in strides
+    ]
+    reg_maps = [
+        (RNG.randn(2, 4, s_img // s, s_img // s)).astype(np.float32)
+        for s in strides
+    ]
+    boxes = []
+    for _ in range(4):
+        x, y = RNG.rand(2) * 50
+        w, h = RNG.rand(2) * 70 + 12
+        boxes.append([x, y, min(x + w, s_img - 1), min(y + h, s_img - 1)])
+    gt_boxes = np.array(boxes, np.float32)
+    gt_labels = RNG.randint(0, NUM_CLASSES, size=4).astype(np.int64)
+
+    with torch.no_grad():
+        ref_losses = ref.loss(
+            [torch.from_numpy(m) for m in cls_maps],
+            [torch.from_numpy(m) for m in reg_maps],
+            [torch.from_numpy(gt_boxes), torch.from_numpy(gt_boxes[:2])],
+            [torch.from_numpy(gt_labels), torch.from_numpy(gt_labels[:2])],
+            img_metas=[{'img_shape': (s_img, s_img, 3),
+                        'pad_shape': (s_img, s_img, 3)}] * 2)
+    ref_cls = float(ref_losses['loss_cls'])
+    ref_bbox = float(ref_losses['loss_bbox'])
+
+    from tpudet.models.dense_heads.fovea_head import FoveaHead
+    head = FoveaHead(num_classes=NUM_CLASSES, in_channels=8,
+                     scale_ranges=scale_ranges, focal_gamma=1.5,
+                     focal_alpha=0.4, smooth_l1_beta=0.11,
+                     loss_bbox_weight=0.75)
+    G = 5
+    pad_boxes = np.zeros((2, G, 4), np.float32)
+    pad_boxes[0, :4] = gt_boxes
+    pad_boxes[1, :2] = gt_boxes[:2]
+    pad_labels = np.zeros((2, G), np.int32)
+    pad_labels[0, :4] = gt_labels
+    pad_labels[1, :2] = gt_labels[:2]
+    valid = np.zeros((2, G), bool)
+    valid[0, :4] = True
+    valid[1, :2] = True
+    mine = head.loss(
+        (tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1)))
+               for m in cls_maps),
+         tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1)))
+               for m in reg_maps)),
+        jnp.asarray(pad_boxes), jnp.asarray(pad_labels), jnp.asarray(valid))
+    np.testing.assert_allclose(float(mine['loss_cls']), ref_cls, rtol=1e-4)
+    np.testing.assert_allclose(float(mine['loss_bbox']), ref_bbox,
+                               rtol=1e-4)
+
+
 def test_ssd_loss_matches_reference():
     """SSD300 training loss (reference ssd_head.py::loss_single: MaxIoU
     assignment with low-quality matches, softmax CE with 3:1 OHEM hard
