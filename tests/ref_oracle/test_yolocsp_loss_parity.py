@@ -614,6 +614,156 @@ def test_fovea_loss_matches_reference():
                                rtol=1e-4)
 
 
+def test_vfnet_loss_matches_reference():
+    """VFNet training loss (reference vfnet_head.py::loss: ATSS targets on
+    8x-stride center-offset-0 anchors transformed to ltrb, GIoU init/refine
+    losses IoU-weighted and normalized by the weight sums, varifocal cls
+    with refined-IoU targets over num_pos)."""
+    import torch
+    heads = refbridge.ref_import('mmdet.models.dense_heads')
+    mmcv = refbridge.ref_import('mmcv')
+    s_img = 128
+    strides = (8, 16, 32, 64, 128)
+    ref = heads.VFNetHead(
+        num_classes=NUM_CLASSES, in_channels=8, feat_channels=32,
+        stacked_convs=1, strides=list(strides), center_sampling=False,
+        dcn_on_last_conv=False, use_atss=True, use_vfl=True,
+        loss_cls=dict(type='VarifocalLoss', use_sigmoid=True, alpha=0.75,
+                      gamma=2.0, iou_weighted=True, loss_weight=1.0),
+        loss_bbox=dict(type='GIoULoss', loss_weight=1.5),
+        loss_bbox_refine=dict(type='GIoULoss', loss_weight=2.0),
+        train_cfg=mmcv.Config(dict(
+            assigner=dict(type='ATSSAssigner', topk=9),
+            allowed_border=-1, pos_weight=-1, debug=False)))
+    ref.requires_grad_(False)
+    cls_maps = [
+        (RNG.randn(2, NUM_CLASSES, s_img // s, s_img // s)).astype(
+            np.float32) for s in strides
+    ]
+    init_maps = [
+        np.abs(RNG.randn(2, 4, s_img // s, s_img // s) * 8).astype(
+            np.float32) for s in strides
+    ]
+    refine_maps = [
+        np.abs(RNG.randn(2, 4, s_img // s, s_img // s) * 8).astype(
+            np.float32) for s in strides
+    ]
+    boxes = []
+    for _ in range(3):
+        x, y = RNG.rand(2) * 60
+        w, h = RNG.rand(2) * 50 + 12
+        boxes.append([x, y, min(x + w, s_img - 1), min(y + h, s_img - 1)])
+    gt_boxes = np.array(boxes, np.float32)
+    gt_labels = RNG.randint(0, NUM_CLASSES, size=3).astype(np.int64)
+
+    with torch.no_grad():
+        ref_losses = ref.loss(
+            [torch.from_numpy(m) for m in cls_maps],
+            [torch.from_numpy(m) for m in init_maps],
+            [torch.from_numpy(m) for m in refine_maps],
+            [torch.from_numpy(gt_boxes), torch.from_numpy(gt_boxes[:2])],
+            [torch.from_numpy(gt_labels), torch.from_numpy(gt_labels[:2])],
+            img_metas=[{'img_shape': (s_img, s_img, 3),
+                        'pad_shape': (s_img, s_img, 3)}] * 2)
+    ref_cls = float(ref_losses['loss_cls'])
+    ref_bbox = float(ref_losses['loss_bbox'])
+    ref_rf = float(ref_losses['loss_bbox_rf'])
+
+    from tpudet.models.dense_heads.vfnet_head import VFNetHead
+    head = VFNetHead(num_classes=NUM_CLASSES, in_channels=8)
+    G = 4
+    pad_boxes = np.zeros((2, G, 4), np.float32)
+    pad_boxes[0, :3] = gt_boxes
+    pad_boxes[1, :2] = gt_boxes[:2]
+    pad_labels = np.zeros((2, G), np.int32)
+    pad_labels[0, :3] = gt_labels
+    pad_labels[1, :2] = gt_labels[:2]
+    valid = np.zeros((2, G), bool)
+    valid[0, :3] = True
+    valid[1, :2] = True
+    mine = head.loss(
+        (tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1)))
+               for m in cls_maps),
+         tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1)))
+               for m in init_maps),
+         tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1)))
+               for m in refine_maps)),
+        jnp.asarray(pad_boxes), jnp.asarray(pad_labels), jnp.asarray(valid))
+    np.testing.assert_allclose(float(mine['loss_cls']), ref_cls, rtol=1e-4)
+    np.testing.assert_allclose(float(mine['loss_bbox']), ref_bbox,
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(mine['loss_bbox_rf']), ref_rf,
+                               rtol=1e-4)
+
+
+def test_yolof_loss_matches_reference():
+    """YOLOF training loss (reference yolof_head.py::loss: UniformAssigner
+    4x L1 matching on anchors AND decoded predictions, pos_ignore_thr .15 /
+    neg_ignore_thr .7, focal cls + GIoU on the matched predicted boxes,
+    num_total_pos normalization)."""
+    import torch
+    heads = refbridge.ref_import('mmdet.models.dense_heads')
+    mmcv = refbridge.ref_import('mmcv')
+    s_img = 128
+    ref = heads.YOLOFHead(
+        num_classes=NUM_CLASSES, in_channels=8, num_cls_convs=1,
+        num_reg_convs=1, reg_decoded_bbox=True,
+        anchor_generator=dict(type='AnchorGenerator', ratios=[1.0],
+                              scales=[1, 2, 4, 8, 16], strides=[32]),
+        bbox_coder=dict(type='DeltaXYWHBBoxCoder',
+                        target_means=[.0, .0, .0, .0],
+                        target_stds=[1., 1., 1., 1.],
+                        add_ctr_clamp=True, ctr_clamp=32),
+        loss_cls=dict(type='FocalLoss', use_sigmoid=True, gamma=2.0,
+                      alpha=0.25, loss_weight=1.0),
+        loss_bbox=dict(type='GIoULoss', loss_weight=1.0),
+        train_cfg=mmcv.Config(dict(
+            assigner=dict(type='UniformAssigner', pos_ignore_thr=0.15,
+                          neg_ignore_thr=0.7),
+            allowed_border=-1, pos_weight=-1, debug=False)))
+    ref.requires_grad_(False)
+    f = s_img // 32
+    cls_map = (RNG.randn(2, 5 * NUM_CLASSES, f, f)).astype(np.float32)
+    reg_map = (RNG.randn(2, 5 * 4, f, f) * 0.5).astype(np.float32)
+    boxes = []
+    for _ in range(3):
+        x, y = RNG.rand(2) * 60
+        w, h = RNG.rand(2) * 50 + 12
+        boxes.append([x, y, min(x + w, s_img - 1), min(y + h, s_img - 1)])
+    gt_boxes = np.array(boxes, np.float32)
+    gt_labels = RNG.randint(0, NUM_CLASSES, size=3).astype(np.int64)
+
+    with torch.no_grad():
+        ref_losses = ref.loss(
+            [torch.from_numpy(cls_map)], [torch.from_numpy(reg_map)],
+            [torch.from_numpy(gt_boxes), torch.from_numpy(gt_boxes[:2])],
+            [torch.from_numpy(gt_labels), torch.from_numpy(gt_labels[:2])],
+            img_metas=[{'img_shape': (s_img, s_img, 3),
+                        'pad_shape': (s_img, s_img, 3)}] * 2)
+    ref_cls = float(ref_losses['loss_cls'])
+    ref_bbox = float(ref_losses['loss_bbox'])
+
+    from tpudet.models.dense_heads.yolof_head import YOLOFHead
+    head = YOLOFHead(num_classes=NUM_CLASSES, in_channels=8)
+    G = 4
+    pad_boxes = np.zeros((2, G, 4), np.float32)
+    pad_boxes[0, :3] = gt_boxes
+    pad_boxes[1, :2] = gt_boxes[:2]
+    pad_labels = np.zeros((2, G), np.int32)
+    pad_labels[0, :3] = gt_labels
+    pad_labels[1, :2] = gt_labels[:2]
+    valid = np.zeros((2, G), bool)
+    valid[0, :3] = True
+    valid[1, :2] = True
+    mine = head.loss(
+        ((jnp.asarray(np.transpose(cls_map, (0, 2, 3, 1))),),
+         (jnp.asarray(np.transpose(reg_map, (0, 2, 3, 1))),)),
+        jnp.asarray(pad_boxes), jnp.asarray(pad_labels), jnp.asarray(valid))
+    np.testing.assert_allclose(float(mine['loss_cls']), ref_cls, rtol=1e-4)
+    np.testing.assert_allclose(float(mine['loss_bbox']), ref_bbox,
+                               rtol=1e-4)
+
+
 def test_ssd_loss_matches_reference():
     """SSD300 training loss (reference ssd_head.py::loss_single: MaxIoU
     assignment with low-quality matches, softmax CE with 3:1 OHEM hard

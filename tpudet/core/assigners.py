@@ -238,6 +238,48 @@ uniform_assign_batch = jax.vmap(uniform_assign,
                                 in_axes=(0, None, 0, 0, None, None, None))
 
 
+def uniform_match_pairs(pred_boxes: jnp.ndarray,
+                        anchors: jnp.ndarray,
+                        gt_bboxes: jnp.ndarray,
+                        gt_valid: jnp.ndarray,
+                        match_times: int = 4,
+                        pos_ignore_thr: float = 0.15):
+    """The (anchor, gt) candidate-pair list of YOLOF's uniform matching.
+
+    The reference regresses over ALL ``match_times*2*num_gt`` candidate
+    pairs — `bbox_pred[indexes]` vs `gt_bboxes[pos_gt_index]` with weight
+    ``~pos_ignore_idx`` (uniform_assigner.py:105-137, yolof_head.py loss) —
+    duplicates included, and pairs keep their own gt even when the
+    per-anchor scatter later reassigns the anchor's class target.
+
+    Returns ``(pair_anchor, pair_gt, pair_pos)`` each of shape
+    ``(match_times * 2 * num_gt,)``; ``pair_pos`` is True where the pair's
+    ANCHOR IoU with its gt reaches ``pos_ignore_thr`` and the gt is valid.
+    """
+    num_a = anchors.shape[0]
+    num_g = gt_bboxes.shape[0]
+    k = min(match_times, num_a)
+
+    gt_c = bbox_cxcywh(gt_bboxes)
+    cost_pred = jnp.sum(
+        jnp.abs(bbox_cxcywh(pred_boxes)[:, None] - gt_c[None]), -1)
+    cost_anchor = jnp.sum(
+        jnp.abs(bbox_cxcywh(anchors)[:, None] - gt_c[None]), -1)
+    _, idx_pred = jax.lax.top_k(-cost_pred.T, k)
+    _, idx_anchor = jax.lax.top_k(-cost_anchor.T, k)
+    pair_anchor = jnp.stack([idx_pred.T, idx_anchor.T], 1).reshape(-1)
+    pair_gt = jnp.tile(jnp.arange(num_g, dtype=jnp.int32), 2 * k)
+
+    anchor_ious = bbox_overlaps(anchors, gt_bboxes)  # (A, G)
+    pair_iou = anchor_ious[pair_anchor, pair_gt]
+    pair_pos = (pair_iou >= pos_ignore_thr) & jnp.take(gt_valid, pair_gt)
+    return pair_anchor, pair_gt, pair_pos
+
+
+uniform_match_pairs_batch = jax.vmap(
+    uniform_match_pairs, in_axes=(0, None, 0, 0, None, None))
+
+
 def hungarian_assign(cost: jnp.ndarray, gt_valid: jnp.ndarray) -> jnp.ndarray:
     """Optimal bipartite matching (reference hungarian_assigner.py): rows are
     queries/predictions, cols are padded gts. Invalid gts are excluded.

@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 
 from ...core.anchors import AnchorGenerator
-from ...core.assigners import IGNORE, NEGATIVE, uniform_assign_batch
+from ...core.assigners import (IGNORE, NEGATIVE, uniform_assign_batch,
+                               uniform_match_pairs_batch)
 from ...core.bbox import DeltaXYWHBBoxCoder
 from ...core.nms import batched_nms
 from ...registry import HEADS
@@ -132,11 +133,19 @@ class YOLOFHead(nn.Module):
             weight=label_weights, avg_factor=num_pos,
             loss_weight=self.loss_cls_weight)
 
-        matched_boxes = jnp.take_along_axis(gt_bboxes, gt_idx[..., None],
-                                            axis=1)
-        matched_boxes = jnp.where(pos[..., None], matched_boxes, pred_boxes)
+        # the reference regresses every candidate PAIR (duplicates
+        # included) against the pair's own gt, normalized by the count of
+        # unique positive anchors (yolof_head.py loss + uniform_assigner
+        # extra properties)
+        pair_a, pair_g, pair_pos = uniform_match_pairs_batch(
+            pred_boxes, anchors, gt_bboxes, gt_valid, self.match_times,
+            self.pos_ignore_thr)
+        pair_pred = jnp.take_along_axis(pred_boxes, pair_a[..., None],
+                                        axis=1)
+        pair_tgt = jnp.take_along_axis(gt_bboxes, pair_g[..., None], axis=1)
+        pair_tgt = jnp.where(pair_pos[..., None], pair_tgt, pair_pred)
         loss_bbox = L.giou_loss(
-            pred_boxes, matched_boxes, weight=pos.astype(jnp.float32),
+            pair_pred, pair_tgt, weight=pair_pos.astype(jnp.float32),
             avg_factor=num_pos, loss_weight=self.loss_bbox_weight)
         return dict(loss_cls=loss_cls, loss_bbox=loss_bbox,
                     num_gts=jnp.mean(jnp.sum(gt_valid.astype(jnp.float32),
