@@ -764,6 +764,83 @@ def test_yolof_loss_matches_reference():
                                rtol=1e-4)
 
 
+def test_autoassign_loss_matches_reference():
+    """AutoAssign training loss (reference autoassign_head.py::loss:
+    gaussian center prior, exp(3*p_pos) confidence reweighting per gt,
+    per-point max-IoU negative discounting with per-gt min-max
+    normalization and gt-major last-write class scatter, center loss
+    num_gt/prior_sum)."""
+    import torch
+    heads = refbridge.ref_import('mmdet.models.dense_heads')
+    s_img = 128
+    strides = (8, 16, 32, 64, 128)
+    ref = heads.AutoAssignHead(
+        num_classes=NUM_CLASSES, in_channels=8, feat_channels=32,
+        stacked_convs=1, strides=list(strides),
+        loss_bbox=dict(type='GIoULoss', loss_weight=5.0))
+    ref.requires_grad_(False)
+    cls_maps = [
+        (RNG.randn(2, NUM_CLASSES, s_img // s, s_img // s)).astype(
+            np.float32) for s in strides
+    ]
+    reg_maps = [
+        np.abs(RNG.randn(2, 4, s_img // s, s_img // s) * 8).astype(
+            np.float32) for s in strides
+    ]
+    obj_maps = [
+        (RNG.randn(2, 1, s_img // s, s_img // s)).astype(np.float32)
+        for s in strides
+    ]
+    boxes = []
+    for _ in range(3):
+        x, y = RNG.rand(2) * 60
+        w, h = RNG.rand(2) * 50 + 12
+        boxes.append([x, y, min(x + w, s_img - 1), min(y + h, s_img - 1)])
+    gt_boxes = np.array(boxes, np.float32)
+    gt_labels = RNG.randint(0, NUM_CLASSES, size=3).astype(np.int64)
+
+    with torch.no_grad():
+        ref_losses = ref.loss(
+            [torch.from_numpy(m) for m in cls_maps],
+            [torch.from_numpy(m) for m in reg_maps],
+            [torch.from_numpy(m) for m in obj_maps],
+            [torch.from_numpy(gt_boxes), torch.from_numpy(gt_boxes[:2])],
+            [torch.from_numpy(gt_labels), torch.from_numpy(gt_labels[:2])],
+            img_metas=[{'img_shape': (s_img, s_img, 3),
+                        'pad_shape': (s_img, s_img, 3)}] * 2)
+    ref_pos = float(ref_losses['loss_pos'])
+    ref_neg = float(ref_losses['loss_neg'])
+    ref_center = float(ref_losses['loss_center'])
+
+    from tpudet.models.dense_heads.autoassign_head import AutoAssignHead
+    head = AutoAssignHead(num_classes=NUM_CLASSES, in_channels=8)
+    G = 4
+    pad_boxes = np.zeros((2, G, 4), np.float32)
+    pad_boxes[0, :3] = gt_boxes
+    pad_boxes[1, :2] = gt_boxes[:2]
+    pad_labels = np.zeros((2, G), np.int32)
+    pad_labels[0, :3] = gt_labels
+    pad_labels[1, :2] = gt_labels[:2]
+    valid = np.zeros((2, G), bool)
+    valid[0, :3] = True
+    valid[1, :2] = True
+    center_mean = jnp.zeros((NUM_CLASSES, 2), jnp.float32)
+    center_sigma = jnp.ones((NUM_CLASSES, 2), jnp.float32)
+    mine = head.loss(
+        (tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1)))
+               for m in cls_maps),
+         tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1)))
+               for m in reg_maps),
+         tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1)))
+               for m in obj_maps),
+         (center_mean, center_sigma)),
+        jnp.asarray(pad_boxes), jnp.asarray(pad_labels), jnp.asarray(valid))
+    np.testing.assert_allclose(float(mine['loss_pos']), ref_pos, rtol=1e-4)
+    np.testing.assert_allclose(float(mine['loss_neg']), ref_neg, rtol=1e-4)
+    np.testing.assert_allclose(float(mine['loss_center']), ref_center,
+                               rtol=1e-4)
+
+
 def test_ssd_loss_matches_reference():
     """SSD300 training loss (reference ssd_head.py::loss_single: MaxIoU
     assignment with low-quality matches, softmax CE with 3:1 OHEM hard

@@ -29,7 +29,6 @@ from ...core.nms import batched_nms
 from ...registry import DETECTORS, HEADS
 from .. import losses as L
 from ..detectors.single_stage import SingleStageDetector
-from .fcos_head import level_points
 
 EPS = 1e-12
 
@@ -107,8 +106,17 @@ class AutoAssignHead(nn.Module):
                  center_sigma.astype(jnp.float32)))
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _level_points(featmap_size, stride):
+        """AutoAssign removes FCOS's half-stride point offset — points sit
+        at ``i * stride`` exactly (autoassign_head.py:173-187)."""
+        h, w = featmap_size
+        xs = np.arange(w, dtype=np.float32) * stride
+        ys = np.arange(h, dtype=np.float32) * stride
+        return np.stack([np.tile(xs, h), np.repeat(ys, w)], axis=-1)
+
     def _points(self, featmap_sizes):
-        pts = [level_points(featmap_sizes[i], self.strides[i])
+        pts = [self._level_points(featmap_sizes[i], self.strides[i])
                for i in range(len(featmap_sizes))]
         strides = np.concatenate([
             np.full(len(p), self.strides[i], np.float32)
@@ -183,15 +191,17 @@ class AutoAssignHead(nn.Module):
             pos_l = -jnp.log(jnp.clip(rew, EPS, 1.0)) * valid
             pos_loss = jnp.sum(pos_l)
 
-            # negative weights: per (point, gt), min-max normalized
-            # 1/(1-iou) — per-pair IoU like the reference (a point
-            # covering gt A must not discount its negatives for an
-            # overlapping gt B it does not cover), constant wrt params
-            # (the reference builds it under no_grad), and masked with
-            # +-inf rather than NaN (0 * NaN = NaN in the VJP poisoned
-            # every gradient)
-            t = 1.0 / jnp.clip(1.0 - jax.lax.stop_gradient(ious),
-                               EPS, None)  # (P, G)
+            # negative weights (autoassign_head.py:258-310): the pair iou
+            # is the per-point MAX over gts replicated across pairs and
+            # masked by inside; min-max normalized 1/(1-iou) per gt over
+            # its inside points; constant wrt params (the reference builds
+            # it under no_grad), masked with +-inf rather than NaN
+            # (0 * NaN = NaN in the VJP poisoned every gradient)
+            iou_pt = jnp.max(jnp.where(valid[None, :], ious, 0.), axis=1,
+                             keepdims=True)  # (P, 1)
+            t = 1.0 / jnp.clip(1.0 - jax.lax.stop_gradient(iou_pt),
+                               EPS, None)
+            t = jnp.broadcast_to(t, inside.shape)  # (P, G)
             tmin = jnp.min(jnp.where(inside, t, jnp.inf), axis=0,
                            keepdims=True)
             tmax = jnp.max(jnp.where(inside, t, -jnp.inf), axis=0,
@@ -201,9 +211,19 @@ class AutoAssignHead(nn.Module):
                 has_inside,
                 (t - tmin + EPS) / (tmax - tmin + EPS), 0.)
             tn = jnp.where(inside, tn, 0.)  # (P, G)
-            onehot = jax.nn.one_hot(labels, C) * valid[:, None]  # (G, C)
-            # per (point, class): strongest discount among that class's gts
-            discount = jnp.max(tn[:, :, None] * onehot[None], axis=1)
+            # the reference scatters (point, gt_label) <- 1-tn in gt-major
+            # order (last write wins): keep the HIGHEST-indexed covering
+            # gt per (point, class) via a rank scatter-max
+            num_g = labels.shape[0]
+            gt_rank = jnp.arange(1, num_g + 1, dtype=jnp.int32)
+            rank_key = jnp.where(inside & valid[None, :], gt_rank[None, :],
+                                 0)
+            sel = jnp.zeros((points.shape[0], C), jnp.int32)
+            sel = sel.at[:, labels].max(rank_key)
+            discount = jnp.where(
+                sel > 0,
+                jnp.take_along_axis(tn, jnp.maximum(sel - 1, 0), axis=1),
+                0.)
             w_neg = 1.0 - discount  # (P, C)
             z = joint_i * w_neg
             neg_loss = jnp.sum(z**2 * (-jnp.log(jnp.clip(1 - z, EPS, None))))
@@ -234,8 +254,8 @@ class AutoAssignHead(nn.Module):
         b = cls_scores[0].shape[0]
         boxes_all, scores_all = [], []
         for lvl in range(len(cls_scores)):
-            pts = jnp.asarray(level_points(featmap_sizes[lvl],
-                                           self.strides[lvl]))
+            pts = jnp.asarray(self._level_points(featmap_sizes[lvl],
+                                                 self.strides[lvl]))
             scores = jax.nn.sigmoid(
                 cls_scores[lvl].reshape(b, -1, self.num_classes).astype(
                     jnp.float32))
