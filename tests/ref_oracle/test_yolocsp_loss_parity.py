@@ -841,6 +841,96 @@ def test_autoassign_loss_matches_reference():
                                rtol=1e-4)
 
 
+def test_paa_loss_matches_reference():
+    """PAA training loss (reference paa_head.py::loss: MaxIoU(0.1)
+    candidates, per-candidate focal+GIoU loss, per-(gt,level) top-9, the
+    sklearn 2-component GMM split with the sorted comp-0 prefix
+    separation, focal over max(num_pos, num_imgs), GIoU weighted by IoU
+    targets over their sum, BCE IoU branch at weight 0.5)."""
+    import torch
+    heads = refbridge.ref_import('mmdet.models.dense_heads')
+    mmcv = refbridge.ref_import('mmcv')
+    s_img = 128
+    strides = (8, 16, 32, 64, 128)
+    ref = heads.PAAHead(
+        num_classes=NUM_CLASSES, in_channels=8, feat_channels=32,
+        stacked_convs=1, reg_decoded_bbox=True, score_voting=True, topk=9,
+        anchor_generator=dict(type='AnchorGenerator', ratios=[1.0],
+                              octave_base_scale=8, scales_per_octave=1,
+                              strides=list(strides)),
+        bbox_coder=dict(type='DeltaXYWHBBoxCoder',
+                        target_means=[.0, .0, .0, .0],
+                        target_stds=[0.1, 0.1, 0.2, 0.2]),
+        loss_cls=dict(type='FocalLoss', use_sigmoid=True, gamma=2.0,
+                      alpha=0.25, loss_weight=1.0),
+        loss_bbox=dict(type='GIoULoss', loss_weight=1.3),
+        loss_centerness=dict(type='CrossEntropyLoss', use_sigmoid=True,
+                             loss_weight=0.5),
+        train_cfg=mmcv.Config(dict(
+            assigner=dict(type='MaxIoUAssigner', pos_iou_thr=0.1,
+                          neg_iou_thr=0.1, min_pos_iou=0,
+                          ignore_iof_thr=-1),
+            allowed_border=-1, pos_weight=-1, debug=False)))
+    ref.requires_grad_(False)
+    cls_maps = [
+        (RNG.randn(2, NUM_CLASSES, s_img // s, s_img // s)).astype(
+            np.float32) for s in strides
+    ]
+    reg_maps = [
+        (RNG.randn(2, 4, s_img // s, s_img // s) * 0.5).astype(np.float32)
+        for s in strides
+    ]
+    iou_maps = [
+        (RNG.randn(2, 1, s_img // s, s_img // s)).astype(np.float32)
+        for s in strides
+    ]
+    boxes = []
+    for _ in range(3):
+        x, y = RNG.rand(2) * 60
+        w, h = RNG.rand(2) * 50 + 12
+        boxes.append([x, y, min(x + w, s_img - 1), min(y + h, s_img - 1)])
+    gt_boxes = np.array(boxes, np.float32)
+    gt_labels = RNG.randint(0, NUM_CLASSES, size=3).astype(np.int64)
+
+    with torch.no_grad():
+        ref_losses = ref.loss(
+            [torch.from_numpy(m) for m in cls_maps],
+            [torch.from_numpy(m) for m in reg_maps],
+            [torch.from_numpy(m) for m in iou_maps],
+            [torch.from_numpy(gt_boxes), torch.from_numpy(gt_boxes[:2])],
+            [torch.from_numpy(gt_labels), torch.from_numpy(gt_labels[:2])],
+            img_metas=[{'img_shape': (s_img, s_img, 3),
+                        'pad_shape': (s_img, s_img, 3)}] * 2)
+    ref_cls = float(ref_losses['loss_cls'])
+    ref_bbox = float(ref_losses['loss_bbox'])
+    ref_iou = float(ref_losses['loss_iou'])
+
+    from tpudet.models.dense_heads.paa_head import PAAHead
+    head = PAAHead(num_classes=NUM_CLASSES, in_channels=8)
+    G = 4
+    pad_boxes = np.zeros((2, G, 4), np.float32)
+    pad_boxes[0, :3] = gt_boxes
+    pad_boxes[1, :2] = gt_boxes[:2]
+    pad_labels = np.zeros((2, G), np.int32)
+    pad_labels[0, :3] = gt_labels
+    pad_labels[1, :2] = gt_labels[:2]
+    valid = np.zeros((2, G), bool)
+    valid[0, :3] = True
+    valid[1, :2] = True
+    mine = head.loss(
+        (tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1)))
+               for m in cls_maps),
+         tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1)))
+               for m in reg_maps),
+         tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1)))
+               for m in iou_maps)),
+        jnp.asarray(pad_boxes), jnp.asarray(pad_labels), jnp.asarray(valid))
+    np.testing.assert_allclose(float(mine['loss_cls']), ref_cls, rtol=1e-4)
+    np.testing.assert_allclose(float(mine['loss_bbox']), ref_bbox,
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(mine['loss_iou']), ref_iou, rtol=1e-4)
+
+
 def test_ssd_loss_matches_reference():
     """SSD300 training loss (reference ssd_head.py::loss_single: MaxIoU
     assignment with low-quality matches, softmax CE with 3:1 OHEM hard

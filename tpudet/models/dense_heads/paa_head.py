@@ -32,36 +32,52 @@ INF = 1e8
 EPS = 1e-8
 
 
-def gmm_em_1d(x, valid, iters: int = 10):
-    """2-component 1-D EM on masked data. Returns (means (2,), assign (K,)
-    int — 0 = lower-mean component, score (K,) mixture log-likelihood)."""
+def gmm_em_1d(x, valid, iters: int = 100, tol: float = 1e-3,
+              reg_covar: float = 1e-6):
+    """2-component 1-D EM on masked data, mirroring the reference's
+    sklearn GaussianMixture call (paa_head.py:326-348): means init at
+    (min, max), weights (.5, .5), unit variances (precisions_init 1.0),
+    ``reg_covar`` added to the M-step variance, and sklearn's early
+    stopping (max_iter=100, tol=1e-3 on the mean log-likelihood).
+
+    Returns (means (2,), assign (K,) int with 0 = lower-mean component,
+    score (K,) mixture log-likelihood per sample)."""
     v = valid.astype(jnp.float32)
     n = jnp.maximum(jnp.sum(v), 1.0)
-    xm = jnp.where(valid, x, 0.)
     m0 = jnp.min(jnp.where(valid, x, INF))
     m1 = jnp.max(jnp.where(valid, x, -INF))
     mean = jnp.stack([m0, m1])
-    var_all = jnp.sum(v * (xm - jnp.sum(xm * v) / n)**2) / n + EPS
-    var = jnp.stack([var_all, var_all])
+    var = jnp.asarray([1.0, 1.0])
     w = jnp.asarray([0.5, 0.5])
 
-    def step(state, _):
-        mean, var, w = state
-        logp = (-0.5 * (x[:, None] - mean[None])**2 / var[None] -
+    def e_logp(mean, var, w):
+        return (-0.5 * (x[:, None] - mean[None])**2 / var[None] -
                 0.5 * jnp.log(2 * jnp.pi * var[None]) +
                 jnp.log(jnp.clip(w[None], EPS, None)))  # (K, 2)
+
+    # sklearn convergence: iterate e-step -> m-step until the mean
+    # per-sample log-likelihood moves < tol, then STOP — the split is
+    # taken at that early-stopped point, not at the EM fixed point
+    def cond(state):
+        _, _, _, lb_prev, lb_cur, it = state
+        return (it < iters) & (jnp.abs(lb_cur - lb_prev) >= tol)
+
+    def body(state):
+        mean, var, w, _, lb_cur, it = state
+        logp = e_logp(mean, var, w)
+        log_norm = jax.nn.logsumexp(logp, axis=1)
+        lb_new = jnp.sum(log_norm * v) / n
         r = jax.nn.softmax(logp, axis=1) * v[:, None]
         nk = jnp.maximum(jnp.sum(r, axis=0), EPS)
         mean = jnp.sum(r * x[:, None], axis=0) / nk
-        var = jnp.sum(r * (x[:, None] - mean[None])**2, axis=0) / nk + EPS
+        var = jnp.sum(r * (x[:, None] - mean[None])**2,
+                      axis=0) / nk + reg_covar
         w = nk / n
-        return (mean, var, w), None
+        return (mean, var, w, lb_cur, lb_new, it + 1)
 
-    (mean, var, w), _ = jax.lax.scan(step, (mean, var, w), None,
-                                     length=iters)
-    logp = (-0.5 * (x[:, None] - mean[None])**2 / var[None] -
-            0.5 * jnp.log(2 * jnp.pi * var[None]) +
-            jnp.log(jnp.clip(w[None], EPS, None)))
+    mean, var, w, _, _, _ = jax.lax.while_loop(
+        cond, body, (mean, var, w, jnp.inf, -jnp.inf, 0))
+    logp = e_logp(mean, var, w)
     # component 0 = lower mean
     order = jnp.argsort(mean)
     logp = logp[:, order]
@@ -74,6 +90,10 @@ def gmm_em_1d(x, valid, iters: int = 10):
 class PAAHead(ATSSHead):
     pos_iou_thr_init: float = 0.1
     paa_topk: int = 9
+    # the published PAA recipe's loss weights (reference
+    # configs/paa/paa_r50_fpn_1x_coco.py:49-51), overriding ATSS's 2.0/1.0
+    loss_bbox_weight: float = 1.3
+    loss_iou_weight: float = 0.5
 
     def loss(self, preds, gt_bboxes, gt_labels, gt_valid) -> Dict:
         cls_scores, bbox_preds, iou_preds = preds
@@ -101,9 +121,11 @@ class PAAHead(ATSSHead):
         pred_boxes = self.bbox_coder.decode(anchors[None], reg_flat)
 
         # 1. loose candidates
+        # MaxIoU(0.1, 0.1, min_pos_iou=0) per the published recipe
+        # (configs/paa/paa_r50_fpn_1x_coco.py:54-59)
         assigned = max_iou_assign_batch(anchors, gt_bboxes, gt_valid,
                                         self.pos_iou_thr_init,
-                                        self.pos_iou_thr_init, 0.1, True)
+                                        self.pos_iou_thr_init, 0.0, True)
         cand = assigned >= 0
         gt_idx = jnp.clip(assigned, 0, None)
         matched = jnp.take_along_axis(gt_bboxes, gt_idx[..., None], axis=1)
@@ -114,9 +136,11 @@ class PAAHead(ATSSHead):
         el_cls = jnp.sum(L.sigmoid_focal_loss(
             cls_flat, onehot, gamma=self.focal_gamma, alpha=self.focal_alpha,
             reduction='none'), -1)
-        el_box = 1.0 - bbox_overlaps_aligned(
+        # the candidate bbox loss carries the GIoU loss_weight
+        # (paa_head.py:246-254: self.loss_bbox with reduction 'none')
+        el_box = self.loss_bbox_weight * (1.0 - bbox_overlaps_aligned(
             pred_boxes, jnp.where(cand[..., None], matched, pred_boxes),
-            mode='giou')
+            mode='giou'))
         pos_loss = jax.lax.stop_gradient(el_cls + el_box)
 
         # 3. per (img, gt): topk per level -> GMM -> prefix positives
@@ -135,13 +159,22 @@ class PAAHead(ATSSHead):
                 losses = jnp.concatenate([o[0] for o in outs])
                 idxs = jnp.concatenate([o[1] for o in outs])
                 valid = losses < INF / 2
+                # the reference sorts candidates by loss before the GMM and
+                # keeps the comp-0 PREFIX up to its best-scoring sample
+                # (paa_head.py:322-325, gmm_separation_scheme); gts with
+                # fewer than 2 candidates keep none (paa_head.py:320)
+                order = jnp.argsort(jnp.where(valid, losses, INF))
+                s_losses = jnp.take(losses, order)
+                s_valid = jnp.take(valid, order)
+                s_idxs = jnp.take(idxs, order)
                 _, assign, score = gmm_em_1d(
-                    jnp.where(valid, losses, 0.), valid)
-                comp0 = (assign == 0) & valid
+                    jnp.where(s_valid, s_losses, 0.), s_valid)
+                comp0 = (assign == 0) & s_valid
                 best = jnp.argmax(jnp.where(comp0, score, -INF))
-                thr = jnp.where(jnp.any(comp0), losses[best], -INF)
-                keep = valid & (losses <= thr)
-                mask = jnp.zeros(loss_a.shape[0], bool).at[idxs].max(keep)
+                rank = jnp.arange(comp0.shape[0])
+                keep = comp0 & (rank <= best) & jnp.any(comp0)
+                keep = keep & (jnp.sum(valid.astype(jnp.int32)) >= 2)
+                mask = jnp.zeros(loss_a.shape[0], bool).at[s_idxs].max(keep)
                 return mask & mine
 
             masks = jax.vmap(per_gt)(jnp.arange(G, dtype=jnp.int32))
@@ -152,9 +185,11 @@ class PAAHead(ATSSHead):
 
         labels = jnp.where(pos, lab, C)
         onehot_pos = jax.nn.one_hot(labels, C)  # bg rows are all-zero
+        # cls avg_factor is max(num_pos, num_images) (paa_head.py:177)
         loss_cls = L.sigmoid_focal_loss(
             cls_flat, onehot_pos, gamma=self.focal_gamma,
-            alpha=self.focal_alpha, avg_factor=num_pos)
+            alpha=self.focal_alpha,
+            avg_factor=jnp.maximum(num_pos, float(b)))
 
         iou_tgt = bbox_overlaps_aligned(
             pred_boxes, jnp.where(pos[..., None], matched, pred_boxes))
@@ -165,7 +200,8 @@ class PAAHead(ATSSHead):
             loss_weight=self.loss_bbox_weight)
         loss_iou = L.bce_loss(iou_flat, iou_tgt,
                               weight=pos.astype(jnp.float32),
-                              avg_factor=num_pos)
+                              avg_factor=num_pos,
+                              loss_weight=self.loss_iou_weight)
         return dict(loss_cls=loss_cls, loss_bbox=loss_bbox,
                     loss_iou=loss_iou,
                     num_gts=jnp.mean(jnp.sum(gt_valid.astype(jnp.float32),
