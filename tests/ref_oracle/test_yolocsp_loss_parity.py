@@ -931,6 +931,86 @@ def test_paa_loss_matches_reference():
     np.testing.assert_allclose(float(mine['loss_iou']), ref_iou, rtol=1e-4)
 
 
+def test_free_anchor_loss_matches_reference():
+    """FreeAnchor training loss (reference free_anchor_retina_head.py::
+    loss: top-50 IoU bags, positive bag -alpha*log(Mean-max(Pcls*Ploc)),
+    saturated-linear decoded-IoU anchor->object probability, focal-
+    modulated negative loss over num_pos*topk)."""
+    import torch
+    heads = refbridge.ref_import('mmdet.models.dense_heads')
+    s_img = 128
+    strides = (8, 16, 32, 64, 128)
+    ref = heads.FreeAnchorRetinaHead(
+        num_classes=NUM_CLASSES, in_channels=8, feat_channels=32,
+        stacked_convs=1,
+        anchor_generator=dict(type='AnchorGenerator', octave_base_scale=4,
+                              scales_per_octave=3, ratios=[0.5, 1.0, 2.0],
+                              strides=list(strides)),
+        bbox_coder=dict(type='DeltaXYWHBBoxCoder',
+                        target_means=[0.0] * 4,
+                        target_stds=[0.1, 0.1, 0.2, 0.2]),
+        loss_bbox=dict(type='SmoothL1Loss', beta=0.11, loss_weight=0.75))
+    ref.requires_grad_(False)
+    # the reference's loss calls get_anchors without a device (defaults
+    # to cuda) — pin it to cpu
+    _orig_get_anchors = ref.get_anchors
+    ref.get_anchors = (
+        lambda fs, metas, device='cpu': _orig_get_anchors(fs, metas, 'cpu'))
+    cls_maps = [
+        (RNG.randn(2, 9 * NUM_CLASSES, s_img // s, s_img // s)).astype(
+            np.float32) for s in strides
+    ]
+    reg_maps = [
+        (RNG.randn(2, 36, s_img // s, s_img // s) * 0.3).astype(np.float32)
+        for s in strides
+    ]
+    boxes = []
+    # gts large enough that every top-50 bag fills with positive-IoU
+    # anchors — zero-IoU ties would make the bag membership ambiguous
+    # between torch.topk and lax.top_k
+    for _ in range(3):
+        x, y = RNG.rand(2) * 50
+        w, h = RNG.rand(2) * 30 + 40
+        boxes.append([x, y, min(x + w, s_img - 1), min(y + h, s_img - 1)])
+    gt_boxes = np.array(boxes, np.float32)
+    gt_labels = RNG.randint(0, NUM_CLASSES, size=3).astype(np.int64)
+
+    with torch.no_grad():
+        ref_losses = ref.loss(
+            [torch.from_numpy(m) for m in cls_maps],
+            [torch.from_numpy(m) for m in reg_maps],
+            [torch.from_numpy(gt_boxes), torch.from_numpy(gt_boxes[:2])],
+            [torch.from_numpy(gt_labels), torch.from_numpy(gt_labels[:2])],
+            img_metas=[{'img_shape': (s_img, s_img, 3),
+                        'pad_shape': (s_img, s_img, 3)}] * 2)
+    ref_pos = float(ref_losses['positive_bag_loss'])
+    ref_neg = float(ref_losses['negative_bag_loss'])
+
+    from tpudet.models.dense_heads.free_anchor_retina_head import \
+        FreeAnchorRetinaHead
+    head = FreeAnchorRetinaHead(num_classes=NUM_CLASSES, in_channels=8)
+    G = 4
+    pad_boxes = np.zeros((2, G, 4), np.float32)
+    pad_boxes[0, :3] = gt_boxes
+    pad_boxes[1, :2] = gt_boxes[:2]
+    pad_labels = np.zeros((2, G), np.int32)
+    pad_labels[0, :3] = gt_labels
+    pad_labels[1, :2] = gt_labels[:2]
+    valid = np.zeros((2, G), bool)
+    valid[0, :3] = True
+    valid[1, :2] = True
+    mine = head.loss(
+        (tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1)))
+               for m in cls_maps),
+         tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1)))
+               for m in reg_maps)),
+        jnp.asarray(pad_boxes), jnp.asarray(pad_labels), jnp.asarray(valid))
+    np.testing.assert_allclose(float(mine['positive_bag_loss']), ref_pos,
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(mine['negative_bag_loss']), ref_neg,
+                               rtol=1e-4)
+
+
 def test_ssd_loss_matches_reference():
     """SSD300 training loss (reference ssd_head.py::loss_single: MaxIoU
     assignment with low-quality matches, softmax CE with 3:1 OHEM hard

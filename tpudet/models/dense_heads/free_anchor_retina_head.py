@@ -32,7 +32,10 @@ class FreeAnchorRetinaHead(RetinaHead):
     bag_gamma: float = 2.0
     bag_alpha: float = 0.5
     smooth_l1_beta: float = 0.11
-    # reference config: loss_bbox loss_weight=0.75 folded into P_loc
+    # reference config: loss_bbox loss_weight=0.75 folded into P_loc;
+    # the recipe's coder stds (retinanet_free_anchor_r50_fpn_1x_coco.py:
+    # 16-19) override RetinaHead's (1,1,1,1)
+    target_stds: tuple = (0.1, 0.1, 0.2, 0.2)
 
     def loss(self, preds, gt_bboxes, gt_labels, gt_valid) -> Dict:
         cls_scores, bbox_preds = preds
