@@ -1011,6 +1011,118 @@ def test_free_anchor_loss_matches_reference():
                                rtol=1e-4)
 
 
+def _moment_decode_np(off_maps, strides, num_points=9):
+    """Numpy twin of the reference 'moment' points2bbox (unbiased std,
+    moment_transfer at its zero init) + image-frame shift, used to feed
+    tpudet's box-level RepPoints loss from raw offset maps."""
+    out = []
+    for m, s in zip(off_maps, strides):
+        bsz, _, h, w = m.shape
+        pts = m.transpose(0, 2, 3, 1).reshape(bsz, h * w, num_points, 2)
+        py, px = pts[..., 0], pts[..., 1]
+        my = py.mean(-1, keepdims=True)
+        mx = px.mean(-1, keepdims=True)
+        sy = np.sqrt(((py - my)**2).sum(-1, keepdims=True) /
+                     (num_points - 1))
+        sx = np.sqrt(((px - mx)**2).sum(-1, keepdims=True) /
+                     (num_points - 1))
+        box = np.concatenate([mx - sx, my - sy, mx + sx, my + sy], -1)
+        cx = np.tile(np.arange(w, dtype=np.float32), h) * s
+        cy = np.repeat(np.arange(h, dtype=np.float32), w) * s
+        center = np.stack([cx, cy, cx, cy], -1)[None]
+        out.append(jnp.asarray(box * s + center, jnp.float32))
+    return tuple(out)
+
+
+def test_reppoints_loss_matches_reference():
+    """RepPoints training loss (reference reppoints_head.py::loss: init
+    stage PointAssigner(scale 4, pos_num 1) on point centers, refine
+    stage MaxIoU(0.5/0.4) on detached init boxes, moment transform with
+    unbiased std, smooth-L1(beta .11) at weights 0.5/1.0 normalized by
+    point_base_scale*stride, focal cls over refine positives)."""
+    import torch
+    heads = refbridge.ref_import('mmdet.models.dense_heads')
+    mmcv = refbridge.ref_import('mmcv')
+    s_img = 128
+    strides = (8, 16, 32, 64, 128)
+    ref = heads.RepPointsHead(
+        num_classes=NUM_CLASSES, in_channels=8, feat_channels=32,
+        point_feat_channels=16, stacked_convs=1,
+        point_strides=list(strides), point_base_scale=4,
+        loss_cls=dict(type='FocalLoss', use_sigmoid=True, gamma=2.0,
+                      alpha=0.25, loss_weight=1.0),
+        loss_bbox_init=dict(type='SmoothL1Loss', beta=0.11,
+                            loss_weight=0.5),
+        loss_bbox_refine=dict(type='SmoothL1Loss', beta=0.11,
+                              loss_weight=1.0),
+        transform_method='moment',
+        train_cfg=mmcv.Config(dict(
+            init=dict(assigner=dict(type='PointAssigner', scale=4,
+                                    pos_num=1),
+                      allowed_border=-1, pos_weight=-1, debug=False),
+            refine=dict(assigner=dict(type='MaxIoUAssigner',
+                                      pos_iou_thr=0.5, neg_iou_thr=0.4,
+                                      min_pos_iou=0, ignore_iof_thr=-1),
+                        allowed_border=-1, pos_weight=-1, debug=False))))
+    ref.requires_grad_(False)
+    cls_maps = [
+        (RNG.randn(2, NUM_CLASSES, s_img // s, s_img // s)).astype(
+            np.float32) for s in strides
+    ]
+    init_maps = [
+        (RNG.randn(2, 18, s_img // s, s_img // s)).astype(np.float32)
+        for s in strides
+    ]
+    refine_maps = [
+        (RNG.randn(2, 18, s_img // s, s_img // s)).astype(np.float32)
+        for s in strides
+    ]
+    boxes = []
+    for _ in range(3):
+        x, y = RNG.rand(2) * 60
+        w, h = RNG.rand(2) * 50 + 12
+        boxes.append([x, y, min(x + w, s_img - 1), min(y + h, s_img - 1)])
+    gt_boxes = np.array(boxes, np.float32)
+    gt_labels = RNG.randint(0, NUM_CLASSES, size=3).astype(np.int64)
+
+    with torch.no_grad():
+        ref_losses = ref.loss(
+            [torch.from_numpy(m) for m in cls_maps],
+            [torch.from_numpy(m) for m in init_maps],
+            [torch.from_numpy(m) for m in refine_maps],
+            [torch.from_numpy(gt_boxes), torch.from_numpy(gt_boxes[:2])],
+            [torch.from_numpy(gt_labels), torch.from_numpy(gt_labels[:2])],
+            img_metas=[{'img_shape': (s_img, s_img, 3),
+                        'pad_shape': (s_img, s_img, 3)}] * 2)
+    ref_cls = sum(float(v) for v in ref_losses['loss_cls'])
+    ref_init = sum(float(v) for v in ref_losses['loss_pts_init'])
+    ref_refine = sum(float(v) for v in ref_losses['loss_pts_refine'])
+
+    from tpudet.models.dense_heads.reppoints_head import RepPointsHead
+    head = RepPointsHead(num_classes=NUM_CLASSES, in_channels=8)
+    G = 4
+    pad_boxes = np.zeros((2, G, 4), np.float32)
+    pad_boxes[0, :3] = gt_boxes
+    pad_boxes[1, :2] = gt_boxes[:2]
+    pad_labels = np.zeros((2, G), np.int32)
+    pad_labels[0, :3] = gt_labels
+    pad_labels[1, :2] = gt_labels[:2]
+    valid = np.zeros((2, G), bool)
+    valid[0, :3] = True
+    valid[1, :2] = True
+    mine = head.loss(
+        (tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1)))
+               for m in cls_maps),
+         _moment_decode_np(init_maps, strides),
+         _moment_decode_np(refine_maps, strides)),
+        jnp.asarray(pad_boxes), jnp.asarray(pad_labels), jnp.asarray(valid))
+    np.testing.assert_allclose(float(mine['loss_cls']), ref_cls, rtol=1e-4)
+    np.testing.assert_allclose(float(mine['loss_pts_init']), ref_init,
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(mine['loss_pts_refine']), ref_refine,
+                               rtol=1e-4)
+
+
 def test_ssd_loss_matches_reference():
     """SSD300 training loss (reference ssd_head.py::loss_single: MaxIoU
     assignment with low-quality matches, softmax CE with 3:1 OHEM hard

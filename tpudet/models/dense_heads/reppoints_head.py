@@ -126,11 +126,15 @@ class RepPointsHead(nn.Module):
             py, px = p[..., 0], p[..., 1]
             my = jnp.mean(py, -1, keepdims=True)
             mx = jnp.mean(px, -1, keepdims=True)
+            # torch.std is UNBIASED (divisor n-1, reppoints_head.py:200);
             # eps inside the sqrt: at positions where all points coincide
             # (e.g. zeroed activations) torch.std's grad is inf/NaN; the
             # epsilon keeps the moment grad finite with negligible skew
-            sy = jnp.sqrt(jnp.mean((py - my)**2, -1, keepdims=True) + 1e-12)
-            sx = jnp.sqrt(jnp.mean((px - mx)**2, -1, keepdims=True) + 1e-12)
+            n1 = float(self.num_points - 1)
+            sy = jnp.sqrt(
+                jnp.sum((py - my)**2, -1, keepdims=True) / n1 + 1e-12)
+            sx = jnp.sqrt(
+                jnp.sum((px - mx)**2, -1, keepdims=True) / n1 + 1e-12)
             hw = sx * jnp.exp(moment[0])
             hh = sy * jnp.exp(moment[1])
             return jnp.concatenate([mx - hw, my - hh, mx + hw, my + hh], -1)
