@@ -1123,6 +1123,101 @@ def test_reppoints_loss_matches_reference():
                                rtol=1e-4)
 
 
+def test_detr_loss_matches_reference():
+    """DETR training loss (reference detr_head.py::loss_single: Hungarian
+    matching with cls/L1/GIoU costs, softmax CE with bg class weight 0.1
+    over num_pos + 0.1*num_neg, L1(5.0) and GIoU(2.0) on image-frame
+    boxes over num_pos) on the final decoder layer + aux layers."""
+    import torch
+    heads = refbridge.ref_import('mmdet.models.dense_heads')
+    mmcv = refbridge.ref_import('mmcv')
+    s_img = 128
+    Q = 20
+    ref = heads.DETRHead(
+        num_classes=NUM_CLASSES, in_channels=16, num_query=Q,
+        transformer=dict(
+            type='Transformer',
+            encoder=dict(
+                type='DetrTransformerEncoder', num_layers=1,
+                transformerlayers=dict(
+                    type='BaseTransformerLayer',
+                    attn_cfgs=[dict(type='MultiheadAttention',
+                                    embed_dims=32, num_heads=2)],
+                    feedforward_channels=64, ffn_dropout=0.1,
+                    operation_order=('self_attn', 'norm', 'ffn', 'norm'))),
+            decoder=dict(
+                type='DetrTransformerDecoder', return_intermediate=True,
+                num_layers=1,
+                transformerlayers=dict(
+                    type='DetrTransformerDecoderLayer',
+                    attn_cfgs=dict(type='MultiheadAttention',
+                                   embed_dims=32, num_heads=2),
+                    feedforward_channels=64, ffn_dropout=0.1,
+                    operation_order=('self_attn', 'norm', 'cross_attn',
+                                     'norm', 'ffn', 'norm')))),
+        positional_encoding=dict(type='SinePositionalEncoding',
+                                 num_feats=16, normalize=True),
+        loss_cls=dict(type='CrossEntropyLoss', bg_cls_weight=0.1,
+                      use_sigmoid=False, loss_weight=1.0, class_weight=1.0),
+        loss_bbox=dict(type='L1Loss', loss_weight=5.0),
+        loss_iou=dict(type='GIoULoss', loss_weight=2.0),
+        train_cfg=mmcv.Config(dict(assigner=dict(
+            type='HungarianAssigner',
+            cls_cost=dict(type='ClassificationCost', weight=1.),
+            reg_cost=dict(type='BBoxL1Cost', weight=5.0),
+            iou_cost=dict(type='IoUCost', iou_mode='giou', weight=2.0)))))
+    ref.requires_grad_(False)
+
+    L = 2
+    cls_all = (RNG.randn(L, 2, Q, NUM_CLASSES + 1)).astype(np.float32)
+    bbox_all = (1.0 / (1.0 + np.exp(-RNG.randn(L, 2, Q, 4)))).astype(
+        np.float32)
+    boxes = []
+    for _ in range(3):
+        x, y = RNG.rand(2) * 60
+        w, h = RNG.rand(2) * 50 + 12
+        boxes.append([x, y, min(x + w, s_img - 1), min(y + h, s_img - 1)])
+    gt_boxes = np.array(boxes, np.float32)
+    gt_labels = RNG.randint(0, NUM_CLASSES, size=3).astype(np.int64)
+
+    with torch.no_grad():
+        ref_losses = ref.loss(
+            [torch.from_numpy(cls_all)], [torch.from_numpy(bbox_all)],
+            [torch.from_numpy(gt_boxes), torch.from_numpy(gt_boxes[:2])],
+            [torch.from_numpy(gt_labels), torch.from_numpy(gt_labels[:2])],
+            img_metas=[{'img_shape': (s_img, s_img, 3),
+                        'pad_shape': (s_img, s_img, 3)}] * 2)
+
+    from tpudet.models.dense_heads.detr_head import DETRHead
+    head = DETRHead(num_classes=NUM_CLASSES, in_channels=16, num_query=Q)
+    G = 4
+    pad_boxes = np.zeros((2, G, 4), np.float32)
+    pad_boxes[0, :3] = gt_boxes
+    pad_boxes[1, :2] = gt_boxes[:2]
+    pad_labels = np.zeros((2, G), np.int32)
+    pad_labels[0, :3] = gt_labels
+    pad_labels[1, :2] = gt_labels[:2]
+    valid = np.zeros((2, G), bool)
+    valid[0, :3] = True
+    valid[1, :2] = True
+    factor = jnp.asarray([s_img, s_img, s_img, s_img], jnp.float32)
+    mine = head.loss(
+        (jnp.asarray(cls_all), jnp.asarray(bbox_all), factor),
+        jnp.asarray(pad_boxes), jnp.asarray(pad_labels), jnp.asarray(valid))
+    np.testing.assert_allclose(float(mine['loss_cls']),
+                               float(ref_losses['loss_cls']), rtol=1e-4)
+    np.testing.assert_allclose(float(mine['loss_bbox']),
+                               float(ref_losses['loss_bbox']), rtol=1e-4)
+    np.testing.assert_allclose(float(mine['loss_iou']),
+                               float(ref_losses['loss_iou']), rtol=1e-4)
+    np.testing.assert_allclose(float(mine['d0.loss_cls']),
+                               float(ref_losses['d0.loss_cls']), rtol=1e-4)
+    np.testing.assert_allclose(float(mine['d0.loss_bbox']),
+                               float(ref_losses['d0.loss_bbox']), rtol=1e-4)
+    np.testing.assert_allclose(float(mine['d0.loss_iou']),
+                               float(ref_losses['d0.loss_iou']), rtol=1e-4)
+
+
 def test_ssd_loss_matches_reference():
     """SSD300 training loss (reference ssd_head.py::loss_single: MaxIoU
     assignment with low-quality matches, softmax CE with 3:1 OHEM hard

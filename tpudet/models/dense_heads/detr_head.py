@@ -104,8 +104,10 @@ class DETRHead(nn.Module):
         prob = jax.nn.softmax(cls_logits, -1)  # (Q, C+1)
         safe_labels = jnp.clip(labels, 0, self.num_classes - 1)
         cls_cost = -prob[:, safe_labels]  # (Q, G)
+        # the matching L1 cost is in XYXY (BBoxL1Cost box_format default),
+        # unlike the cxcywh L1 LOSS (match_cost.py BBoxL1Cost)
         bbox_cost = jnp.sum(
-            jnp.abs(bbox_norm[:, None, :] - xyxy_to_cxcywh(gts_norm)[None]),
+            jnp.abs(cxcywh_to_xyxy(bbox_norm)[:, None, :] - gts_norm[None]),
             -1)
         giou = bbox_overlaps(cxcywh_to_xyxy(bbox_norm), gts_norm,
                              mode='giou')  # (Q, G)
