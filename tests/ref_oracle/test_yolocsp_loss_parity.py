@@ -1218,6 +1218,88 @@ def test_detr_loss_matches_reference():
                                float(ref_losses['d0.loss_iou']), rtol=1e-4)
 
 
+def test_cornernet_loss_matches_reference():
+    """CornerNet training loss (reference corner_head.py::loss: gaussian
+    focal heatmaps normalized by exact-corner counts, associative
+    embedding pull/push summed over the batch, smooth-L1 corner offsets
+    over corner-position counts, two hourglass stacks)."""
+    import torch
+    heads = refbridge.ref_import('mmdet.models.dense_heads')
+    s_img = 128
+    f = 32  # both stacks share the full corner resolution
+    ref = heads.CornerHead(
+        num_classes=NUM_CLASSES, in_channels=8, num_feat_levels=2,
+        corner_emb_channels=1,
+        loss_heatmap=dict(type='GaussianFocalLoss', alpha=2.0, gamma=4.0,
+                          loss_weight=1),
+        loss_embedding=dict(type='AssociativeEmbeddingLoss',
+                            pull_weight=0.10, push_weight=0.10),
+        loss_offset=dict(type='SmoothL1Loss', beta=1.0, loss_weight=1))
+    ref.requires_grad_(False)
+    tl_heats = [(RNG.randn(2, NUM_CLASSES, f, f)).astype(np.float32)
+                for _ in range(2)]
+    br_heats = [(RNG.randn(2, NUM_CLASSES, f, f)).astype(np.float32)
+                for _ in range(2)]
+    tl_embs = [(RNG.randn(2, 1, f, f)).astype(np.float32) for _ in range(2)]
+    br_embs = [(RNG.randn(2, 1, f, f)).astype(np.float32) for _ in range(2)]
+    tl_offs = [(RNG.randn(2, 2, f, f)).astype(np.float32) for _ in range(2)]
+    br_offs = [(RNG.randn(2, 2, f, f)).astype(np.float32) for _ in range(2)]
+    boxes = []
+    for _ in range(3):
+        x, y = RNG.rand(2) * 60
+        w, h = RNG.rand(2) * 50 + 12
+        boxes.append([x, y, min(x + w, s_img - 1), min(y + h, s_img - 1)])
+    gt_boxes = np.array(boxes, np.float32)
+    gt_labels = RNG.randint(0, NUM_CLASSES, size=3).astype(np.int64)
+
+    with torch.no_grad():
+        ref_losses = ref.loss(
+            [torch.from_numpy(m) for m in tl_heats],
+            [torch.from_numpy(m) for m in br_heats],
+            [torch.from_numpy(m) for m in tl_embs],
+            [torch.from_numpy(m) for m in br_embs],
+            [torch.from_numpy(m) for m in tl_offs],
+            [torch.from_numpy(m) for m in br_offs],
+            [torch.from_numpy(gt_boxes), torch.from_numpy(gt_boxes[:2])],
+            [torch.from_numpy(gt_labels), torch.from_numpy(gt_labels[:2])],
+            img_metas=[{'img_shape': (s_img, s_img, 3),
+                        'pad_shape': (s_img, s_img, 3)}] * 2)
+    ref_det = sum(float(v) for v in ref_losses['det_loss'])
+    ref_pull = sum(float(v) for v in ref_losses['pull_loss'])
+    ref_push = sum(float(v) for v in ref_losses['push_loss'])
+    ref_off = sum(float(v) for v in ref_losses['off_loss'])
+
+    from tpudet.models.dense_heads.corner_head import CornerHead
+    head = CornerHead(num_classes=NUM_CLASSES, in_channels=8)
+    G = 4
+    pad_boxes = np.zeros((2, G, 4), np.float32)
+    pad_boxes[0, :3] = gt_boxes
+    pad_boxes[1, :2] = gt_boxes[:2]
+    pad_labels = np.zeros((2, G), np.int32)
+    pad_labels[0, :3] = gt_labels
+    pad_labels[1, :2] = gt_labels[:2]
+    valid = np.zeros((2, G), bool)
+    valid[0, :3] = True
+    valid[1, :2] = True
+
+    def nhwc(ms):
+        return tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1))) for m in ms)
+
+    mine = head.loss(
+        (nhwc(tl_heats), nhwc(br_heats), nhwc(tl_embs), nhwc(br_embs),
+         nhwc(tl_offs), nhwc(br_offs)),
+        jnp.asarray(pad_boxes), jnp.asarray(pad_labels),
+        jnp.asarray(valid), img_size=float(s_img))
+    np.testing.assert_allclose(float(mine['loss_heatmap']), ref_det,
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(mine['loss_pull']), ref_pull,
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(mine['loss_push']), ref_push,
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(mine['loss_offset']), ref_off,
+                               rtol=1e-4)
+
+
 def test_ssd_loss_matches_reference():
     """SSD300 training loss (reference ssd_head.py::loss_single: MaxIoU
     assignment with low-quality matches, softmax CE with 3:1 OHEM hard

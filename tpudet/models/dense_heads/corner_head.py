@@ -266,17 +266,21 @@ class CornerHead(nn.Module):
                 lambda a, b, v: L.ae_loss(a, b, v, self.pull_weight,
                                           self.push_weight))(tl_g, br_g,
                                                              gt_valid)
-            pull = jnp.mean(pulls)
-            push = jnp.mean(pushes)
+            # the reference SUMS the per-image AE losses over the batch
+            # (ae_loss.py AssociativeEmbeddingLoss.forward)
+            pull = jnp.sum(pulls)
+            push = jnp.sum(pushes)
 
+            # offset avg_factor counts corner POSITIONS (the (B,1,H,W)
+            # mask sum, corner_head.py:628-646), not x/y elements
             off = (L.smooth_l1_loss(
                 tl_offs[lvl].astype(jnp.float32), tl_of,
                 weight=tl_m[..., None].astype(jnp.float32),
-                avg_factor=jnp.maximum(jnp.sum(tl_m) * 2, 1.0)) +
+                avg_factor=jnp.maximum(jnp.sum(tl_m), 1.0)) +
                 L.smooth_l1_loss(
                     br_offs[lvl].astype(jnp.float32), br_of,
                     weight=br_m[..., None].astype(jnp.float32),
-                    avg_factor=jnp.maximum(jnp.sum(br_m) * 2, 1.0))) / 2.0
+                    avg_factor=jnp.maximum(jnp.sum(br_m), 1.0))) / 2.0
             det_l += det
             pull_l += pull
             push_l += push
