@@ -1300,6 +1300,90 @@ def test_cornernet_loss_matches_reference():
                                rtol=1e-4)
 
 
+def test_ld_loss_matches_reference():
+    """Localization-distillation loss (reference ld_head.py::loss_single:
+    GFL losses + temperature-10 KL on the positive anchors' reg
+    distributions vs the teacher's, weighted by the detached max sigmoid
+    cls score, avg_factor 4 per corner row, NOT renormalized by the
+    quality-weight sum)."""
+    import torch
+    heads = refbridge.ref_import('mmdet.models.dense_heads')
+    mmcv = refbridge.ref_import('mmcv')
+    s_img = 128
+    strides = (8, 16, 32, 64, 128)
+    reg_max = 16
+    ref = heads.LDHead(
+        num_classes=NUM_CLASSES, in_channels=8, feat_channels=32,
+        stacked_convs=1, reg_max=reg_max,
+        anchor_generator=dict(type='AnchorGenerator', ratios=[1.0],
+                              octave_base_scale=8, scales_per_octave=1,
+                              strides=list(strides)),
+        loss_cls=dict(type='QualityFocalLoss', use_sigmoid=True, beta=2.0,
+                      loss_weight=1.0),
+        loss_dfl=dict(type='DistributionFocalLoss', loss_weight=0.25),
+        loss_bbox=dict(type='GIoULoss', loss_weight=2.0),
+        loss_ld=dict(type='KnowledgeDistillationKLDivLoss',
+                     loss_weight=0.25, T=10),
+        train_cfg=mmcv.Config(dict(
+            assigner=dict(type='ATSSAssigner', topk=9),
+            allowed_border=-1, pos_weight=-1, debug=False)))
+    ref.requires_grad_(False)
+    cls_maps = [
+        (RNG.randn(2, NUM_CLASSES, s_img // s, s_img // s)).astype(
+            np.float32) for s in strides
+    ]
+    reg_maps = [
+        (RNG.randn(2, 4 * (reg_max + 1), s_img // s, s_img // s)).astype(
+            np.float32) for s in strides
+    ]
+    soft_maps = [
+        (RNG.randn(2, 4 * (reg_max + 1), s_img // s, s_img // s)).astype(
+            np.float32) for s in strides
+    ]
+    boxes = []
+    for _ in range(3):
+        x, y = RNG.rand(2) * 60
+        w, h = RNG.rand(2) * 50 + 12
+        boxes.append([x, y, min(x + w, s_img - 1), min(y + h, s_img - 1)])
+    gt_boxes = np.array(boxes, np.float32)
+    gt_labels = RNG.randint(0, NUM_CLASSES, size=3).astype(np.int64)
+
+    with torch.no_grad():
+        ref_losses = ref.loss(
+            [torch.from_numpy(m) for m in cls_maps],
+            [torch.from_numpy(m) for m in reg_maps],
+            [torch.from_numpy(gt_boxes), torch.from_numpy(gt_boxes[:2])],
+            [torch.from_numpy(gt_labels), torch.from_numpy(gt_labels[:2])],
+            [torch.from_numpy(m) for m in soft_maps],
+            img_metas=[{'img_shape': (s_img, s_img, 3),
+                        'pad_shape': (s_img, s_img, 3)}] * 2)
+    ref_ld = sum(float(v) for v in ref_losses['loss_ld'])
+    ref_cls = sum(float(v) for v in ref_losses['loss_cls'])
+
+    from tpudet.models.dense_heads.ld_head import LDHead
+    head = LDHead(num_classes=NUM_CLASSES, in_channels=8, reg_max=reg_max)
+    G = 4
+    pad_boxes = np.zeros((2, G, 4), np.float32)
+    pad_boxes[0, :3] = gt_boxes
+    pad_boxes[1, :2] = gt_boxes[:2]
+    pad_labels = np.zeros((2, G), np.int32)
+    pad_labels[0, :3] = gt_labels
+    pad_labels[1, :2] = gt_labels[:2]
+    valid = np.zeros((2, G), bool)
+    valid[0, :3] = True
+    valid[1, :2] = True
+
+    def nhwc(ms):
+        return tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1))) for m in ms)
+
+    mine = head.loss_with_teacher(
+        (nhwc(cls_maps), nhwc(reg_maps)),
+        (nhwc(cls_maps), nhwc(soft_maps)),
+        jnp.asarray(pad_boxes), jnp.asarray(pad_labels), jnp.asarray(valid))
+    np.testing.assert_allclose(float(mine['loss_cls']), ref_cls, rtol=1e-4)
+    np.testing.assert_allclose(float(mine['loss_ld']), ref_ld, rtol=1e-4)
+
+
 def test_ssd_loss_matches_reference():
     """SSD300 training loss (reference ssd_head.py::loss_single: MaxIoU
     assignment with low-quality matches, softmax CE with 3:1 OHEM hard

@@ -31,35 +31,25 @@ class LDHead(GFLHead):
     ld_weight: float = 0.25
 
     def _pos_quality(self, preds, gt_bboxes, gt_valid):
-        """(B, A) decoded-IoU quality of positives (0 elsewhere), the same
-        weights the DFL term uses."""
+        """(B, A) KD weights of positives (0 elsewhere): the detached max
+        sigmoid cls score, the same weight_targets the reference's DFL and
+        LD terms use (ld_head.py loss_single)."""
         import numpy as np
         from ...core.assigners import atss_assign_batch
-        from ...core.bbox import bbox_overlaps_aligned
-        cls_scores, reg_logits = preds
+        cls_scores, _ = preds
         featmap_sizes = [tuple(c.shape[1:3]) for c in cls_scores]
         per_level = self.anchor_generator.grid_anchors(featmap_sizes)
         counts = [len(a) for a in per_level]
         anchors = jnp.asarray(np.concatenate(per_level))
-        centers = jnp.stack([(anchors[:, 0] + anchors[:, 2]) * 0.5,
-                             (anchors[:, 1] + anchors[:, 3]) * 0.5], -1)
-        stride_per_anchor = jnp.asarray(np.concatenate([
-            np.full(counts[i], self.strides[i], np.float32)
-            for i in range(len(counts))
-        ]))
         b = cls_scores[0].shape[0]
-        reg_flat = jnp.concatenate([
-            r.reshape(b, -1, 4 * (self.reg_max + 1)) for r in reg_logits],
-            axis=1)
+        cls_flat = jnp.concatenate([
+            c.reshape(b, -1, self.num_classes).astype(jnp.float32)
+            for c in cls_scores], axis=1)
         assigned = atss_assign_batch(anchors, counts, gt_bboxes, gt_valid,
                                      self.topk)
         pos = assigned >= 0
-        gt_idx = jnp.clip(assigned, 0, None)
-        matched = jnp.take_along_axis(gt_bboxes, gt_idx[..., None], axis=1)
-        dists = self._integral(reg_flat) * stride_per_anchor[None, :, None]
-        pred_boxes = self._decode(centers[None], dists)
-        return jax.lax.stop_gradient(
-            bbox_overlaps_aligned(pred_boxes, matched)) * pos
+        quality = jnp.max(jax.nn.sigmoid(cls_flat), axis=-1)
+        return jax.lax.stop_gradient(quality) * pos
 
     def loss_with_teacher(self, preds, teacher_preds, gt_bboxes, gt_labels,
                           gt_valid) -> Dict:
@@ -82,8 +72,12 @@ class LDHead(GFLHead):
         kd = L.kd_kl_div_loss(s_flat, t_flat, T=self.ld_T,
                               reduction='none')  # (B, A, 4)
         kd = jnp.mean(kd, axis=-1)
-        denom = jnp.maximum(jnp.sum(pos_w), 1e-6)
-        losses['loss_ld'] = self.ld_weight * jnp.sum(kd * pos_w) / denom
+        # unlike bbox/dfl, the reference does NOT renormalize loss_ld by
+        # the quality-weight sum: per level it is sum(kd_row * w) / 4.0
+        # over corner rows = sum over positives of w * mean-corner kd
+        # (ld_head.py loss_single avg_factor=4.0; loss():253-256 divides
+        # only losses_bbox/losses_dfl by the global avg_factor)
+        losses['loss_ld'] = self.ld_weight * jnp.sum(kd * pos_w)
         return losses
 
 
