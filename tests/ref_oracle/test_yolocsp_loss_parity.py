@@ -1384,6 +1384,100 @@ def test_ld_loss_matches_reference():
     np.testing.assert_allclose(float(mine['loss_ld']), ref_ld, rtol=1e-4)
 
 
+def test_sabl_retina_loss_matches_reference():
+    """SABL-RetinaNet training loss (reference sabl_retina_head.py::loss:
+    ApproxMaxIoU assignment of 9-approx squares, bucketing coder targets,
+    focal cls, bucket BCE over num_pos*4*side_num, within-bucket
+    smooth-L1 over num_pos*4*offset_topk)."""
+    import torch
+    heads = refbridge.ref_import('mmdet.models.dense_heads')
+    mmcv = refbridge.ref_import('mmcv')
+    s_img = 128
+    strides = (8, 16, 32, 64, 128)
+    side_num = 7  # ceil(num_buckets/2) for 14 buckets
+    ref = heads.SABLRetinaHead(
+        num_classes=NUM_CLASSES, in_channels=8, feat_channels=32,
+        stacked_convs=1,
+        approx_anchor_generator=dict(type='AnchorGenerator',
+                                     octave_base_scale=4,
+                                     scales_per_octave=3,
+                                     ratios=[0.5, 1.0, 2.0],
+                                     strides=list(strides)),
+        square_anchor_generator=dict(type='AnchorGenerator', ratios=[1.0],
+                                     scales=[4], strides=list(strides)),
+        bbox_coder=dict(type='BucketingBBoxCoder', num_buckets=14,
+                        scale_factor=3.0),
+        loss_cls=dict(type='FocalLoss', use_sigmoid=True, gamma=2.0,
+                      alpha=0.25, loss_weight=1.0),
+        loss_bbox_cls=dict(type='CrossEntropyLoss', use_sigmoid=True,
+                           loss_weight=1.5),
+        loss_bbox_reg=dict(type='SmoothL1Loss', beta=1.0 / 9.0,
+                           loss_weight=1.5),
+        train_cfg=mmcv.Config(dict(
+            assigner=dict(type='ApproxMaxIoUAssigner', pos_iou_thr=0.5,
+                          neg_iou_thr=0.4, min_pos_iou=0.0,
+                          ignore_iof_thr=-1),
+            allowed_border=-1, pos_weight=-1, debug=False)))
+    ref.requires_grad_(False)
+    cls_maps = [
+        (RNG.randn(2, NUM_CLASSES, s_img // s, s_img // s)).astype(
+            np.float32) for s in strides
+    ]
+    bcls_maps = [
+        (RNG.randn(2, 4 * side_num, s_img // s, s_img // s)).astype(
+            np.float32) for s in strides
+    ]
+    breg_maps = [
+        (RNG.randn(2, 4 * side_num, s_img // s, s_img // s)).astype(
+            np.float32) for s in strides
+    ]
+    boxes = []
+    for _ in range(3):
+        x, y = RNG.rand(2) * 60
+        w, h = RNG.rand(2) * 50 + 12
+        boxes.append([x, y, min(x + w, s_img - 1), min(y + h, s_img - 1)])
+    gt_boxes = np.array(boxes, np.float32)
+    gt_labels = RNG.randint(0, NUM_CLASSES, size=3).astype(np.int64)
+
+    with torch.no_grad():
+        ref_losses = ref.loss(
+            [torch.from_numpy(m) for m in cls_maps],
+            [(torch.from_numpy(c), torch.from_numpy(r))
+             for c, r in zip(bcls_maps, breg_maps)],
+            [torch.from_numpy(gt_boxes), torch.from_numpy(gt_boxes[:2])],
+            [torch.from_numpy(gt_labels), torch.from_numpy(gt_labels[:2])],
+            img_metas=[{'img_shape': (s_img, s_img, 3),
+                        'pad_shape': (s_img, s_img, 3)}] * 2)
+    ref_cls = sum(float(v) for v in ref_losses['loss_cls'])
+    ref_bcls = sum(float(v) for v in ref_losses['loss_bbox_cls'])
+    ref_breg = sum(float(v) for v in ref_losses['loss_bbox_reg'])
+
+    from tpudet.models.dense_heads.sabl_retina_head import SABLRetinaHead
+    head = SABLRetinaHead(num_classes=NUM_CLASSES, in_channels=8)
+    G = 4
+    pad_boxes = np.zeros((2, G, 4), np.float32)
+    pad_boxes[0, :3] = gt_boxes
+    pad_boxes[1, :2] = gt_boxes[:2]
+    pad_labels = np.zeros((2, G), np.int32)
+    pad_labels[0, :3] = gt_labels
+    pad_labels[1, :2] = gt_labels[:2]
+    valid = np.zeros((2, G), bool)
+    valid[0, :3] = True
+    valid[1, :2] = True
+
+    def nhwc(ms):
+        return tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1))) for m in ms)
+
+    mine = head.loss(
+        (nhwc(cls_maps), nhwc(bcls_maps), nhwc(breg_maps)),
+        jnp.asarray(pad_boxes), jnp.asarray(pad_labels), jnp.asarray(valid))
+    np.testing.assert_allclose(float(mine['loss_cls']), ref_cls, rtol=1e-4)
+    np.testing.assert_allclose(float(mine['loss_bbox_cls']), ref_bcls,
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(mine['loss_bbox_reg']), ref_breg,
+                               rtol=1e-4)
+
+
 def test_ssd_loss_matches_reference():
     """SSD300 training loss (reference ssd_head.py::loss_single: MaxIoU
     assignment with low-quality matches, softmax CE with 3:1 OHEM hard

@@ -324,17 +324,21 @@ class BucketingBBoxCoder:
         nearest = order[..., 0]
         labels = jax.nn.one_hot(nearest, self.side_num)
         rank = jnp.argsort(order, axis=-1)
-        off_w = (rank < self.offset_topk).astype(jnp.float32)
+        # the nearest bucket is always supervised; ranks 1..topk-1 only
+        # when THEIR OWN |offset| < upperbound (bbox2bucket:215-233)
         if self.offset_upperbound is not None:
-            near_abs = jnp.take_along_axis(absoff, nearest[..., None],
-                                           -1)[..., 0]
-            ok = (near_abs <= self.offset_upperbound)[..., None]
-            off_w = off_w * ok
-        cls_w = jnp.ones_like(labels)
+            within = (absoff < self.offset_upperbound).astype(jnp.float32)
+        else:
+            within = jnp.ones_like(absoff)
+        off_w = jnp.where(rank == 0, 1.0,
+                          jnp.where(rank < self.offset_topk, within, 0.0))
+        # cls ignores EVERY non-best bucket within one bucket width of the
+        # gt side, not just the runner-up (bbox2bucket:249-261)
         if self.cls_ignore_neighbor:
-            second = order[..., 1]
-            neighbor = jax.nn.one_hot(second, self.side_num)
-            cls_w = cls_w - neighbor * (1 - labels)
+            cls_w = 1.0 - ((absoff < 1.0) &
+                           (labels == 0)).astype(jnp.float32)
+        else:
+            cls_w = jnp.ones_like(labels)
         return labels, cls_w, offsets, off_w
 
     def decode(self, proposals, pred_bboxes, max_shape=None):
