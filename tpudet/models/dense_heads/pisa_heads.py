@@ -79,7 +79,7 @@ class PISARetinaHead(RetinaHead):
     isr_bias: float = 0.0
     carl_k: float = 1.0
     carl_bias: float = 0.2
-    carl_weight: float = 0.1
+    carl_weight: float = 1.0  # reference carl_loss has no extra weight
 
     def loss(self, preds, gt_bboxes, gt_labels, gt_valid) -> Dict:
         cls_scores, bbox_preds = preds
@@ -175,7 +175,7 @@ class PISASSDHead(SSDHead):
     isr_bias: float = 0.0
     carl_k: float = 1.0
     carl_bias: float = 0.2
-    carl_weight: float = 0.1
+    carl_weight: float = 1.0  # reference carl_loss has no extra weight
 
     def loss(self, preds, gt_bboxes, gt_labels, gt_valid) -> Dict:
         import numpy as np
