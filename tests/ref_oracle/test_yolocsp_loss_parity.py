@@ -1558,6 +1558,116 @@ def test_pisa_retina_loss_matches_reference():
                                rtol=1e-4)
 
 
+def test_ga_retina_loss_matches_reference():
+    """GA-RetinaNet training loss (reference guided_anchor_head.py::loss:
+    scale-ranged loc targets with center/ignore rings, ApproxMaxIoU shape
+    targets decoded through BoundedIoU loss, MaxIoU cls targets on the
+    shape-refined guided anchors, focal cls + smooth-L1(0.04))."""
+    import torch
+    heads = refbridge.ref_import('mmdet.models.dense_heads')
+    mmcv = refbridge.ref_import('mmcv')
+    s_img = 128
+    strides = (8, 16, 32, 64, 128)
+    ref = heads.GARetinaHead(
+        num_classes=NUM_CLASSES, in_channels=8, feat_channels=32,
+        stacked_convs=1,
+        approx_anchor_generator=dict(type='AnchorGenerator',
+                                     octave_base_scale=4,
+                                     scales_per_octave=3,
+                                     ratios=[0.5, 1.0, 2.0],
+                                     strides=list(strides)),
+        square_anchor_generator=dict(type='AnchorGenerator', ratios=[1.0],
+                                     scales=[4], strides=list(strides)),
+        anchor_coder=dict(type='DeltaXYWHBBoxCoder',
+                          target_means=[.0] * 4, target_stds=[1.0] * 4),
+        bbox_coder=dict(type='DeltaXYWHBBoxCoder',
+                        target_means=[.0] * 4, target_stds=[1.0] * 4),
+        loc_filter_thr=0.01,
+        loss_loc=dict(type='FocalLoss', use_sigmoid=True, gamma=2.0,
+                      alpha=0.25, loss_weight=1.0),
+        loss_shape=dict(type='BoundedIoULoss', beta=0.2, loss_weight=1.0),
+        loss_cls=dict(type='FocalLoss', use_sigmoid=True, gamma=2.0,
+                      alpha=0.25, loss_weight=1.0),
+        loss_bbox=dict(type='SmoothL1Loss', beta=0.04, loss_weight=1.0),
+        train_cfg=mmcv.Config(dict(
+            ga_assigner=dict(type='ApproxMaxIoUAssigner', pos_iou_thr=0.5,
+                             neg_iou_thr=0.4, min_pos_iou=0.4,
+                             ignore_iof_thr=-1),
+            ga_sampler=dict(type='RandomSampler', num=256,
+                            pos_fraction=0.5, neg_pos_ub=-1,
+                            add_gt_as_proposals=False),
+            assigner=dict(type='MaxIoUAssigner', pos_iou_thr=0.5,
+                          neg_iou_thr=0.5, min_pos_iou=0.0,
+                          ignore_iof_thr=-1),
+            center_ratio=0.2, ignore_ratio=0.5,
+            allowed_border=-1, pos_weight=-1, debug=False)))
+    ref.requires_grad_(False)
+    cls_maps = [
+        (RNG.randn(2, NUM_CLASSES, s_img // s, s_img // s)).astype(
+            np.float32) for s in strides
+    ]
+    reg_maps = [
+        (RNG.randn(2, 4, s_img // s, s_img // s) * 0.3).astype(np.float32)
+        for s in strides
+    ]
+    shape_maps = [
+        (RNG.randn(2, 2, s_img // s, s_img // s) * 0.3).astype(np.float32)
+        for s in strides
+    ]
+    loc_maps = [
+        (RNG.randn(2, 1, s_img // s, s_img // s)).astype(np.float32)
+        for s in strides
+    ]
+    boxes = []
+    for _ in range(3):
+        x, y = RNG.rand(2) * 60
+        w, h = RNG.rand(2) * 50 + 12
+        boxes.append([x, y, min(x + w, s_img - 1), min(y + h, s_img - 1)])
+    gt_boxes = np.array(boxes, np.float32)
+    gt_labels = RNG.randint(0, NUM_CLASSES, size=3).astype(np.int64)
+
+    with torch.no_grad():
+        ref_losses = ref.loss(
+            [torch.from_numpy(m) for m in cls_maps],
+            [torch.from_numpy(m) for m in reg_maps],
+            [torch.from_numpy(m) for m in shape_maps],
+            [torch.from_numpy(m) for m in loc_maps],
+            [torch.from_numpy(gt_boxes), torch.from_numpy(gt_boxes[:2])],
+            [torch.from_numpy(gt_labels), torch.from_numpy(gt_labels[:2])],
+            img_metas=[{'img_shape': (s_img, s_img, 3),
+                        'pad_shape': (s_img, s_img, 3)}] * 2)
+    ref_cls = sum(float(v) for v in ref_losses['loss_cls'])
+    ref_bbox = sum(float(v) for v in ref_losses['loss_bbox'])
+    ref_shape = sum(float(v) for v in ref_losses['loss_shape'])
+    ref_loc = sum(float(v) for v in ref_losses['loss_loc'])
+
+    from tpudet.models.dense_heads.guided_anchor_head import GARetinaHead
+    head = GARetinaHead(num_classes=NUM_CLASSES, in_channels=8)
+    G = 4
+    pad_boxes = np.zeros((2, G, 4), np.float32)
+    pad_boxes[0, :3] = gt_boxes
+    pad_boxes[1, :2] = gt_boxes[:2]
+    pad_labels = np.zeros((2, G), np.int32)
+    pad_labels[0, :3] = gt_labels
+    pad_labels[1, :2] = gt_labels[:2]
+    valid = np.zeros((2, G), bool)
+    valid[0, :3] = True
+    valid[1, :2] = True
+
+    def nhwc(ms):
+        return tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1))) for m in ms)
+
+    mine = head.loss(
+        (nhwc(cls_maps), nhwc(reg_maps), nhwc(shape_maps), nhwc(loc_maps)),
+        jnp.asarray(pad_boxes), jnp.asarray(pad_labels), jnp.asarray(valid))
+    np.testing.assert_allclose(float(mine['loss_loc']), ref_loc, rtol=1e-4)
+    np.testing.assert_allclose(float(mine['loss_shape']), ref_shape,
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(mine['loss_cls']), ref_cls, rtol=1e-4)
+    np.testing.assert_allclose(float(mine['loss_bbox']), ref_bbox,
+                               rtol=1e-4)
+
+
 def test_ssd_loss_matches_reference():
     """SSD300 training loss (reference ssd_head.py::loss_single: MaxIoU
     assignment with low-quality matches, softmax CE with 3:1 OHEM hard

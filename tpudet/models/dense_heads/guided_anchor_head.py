@@ -79,6 +79,9 @@ class GARetinaHead(nn.Module):
     # ga train cfg (configs/guided_anchoring/ga_retinanet_r50_fpn_1x)
     center_ratio: float = 0.2
     ignore_ratio: float = 0.5
+    # ga_sampler RandomSampler num (reference ga configs): the shape loss
+    # normalizes by the sampled fg+bg count
+    ga_sample_num: int = 256
     ga_pos_iou_thr: float = 0.5
     ga_neg_iou_thr: float = 0.4
     pos_iou_thr: float = 0.5
@@ -201,20 +204,29 @@ class GARetinaHead(nn.Module):
 
         out = []
         total_cells = 0
+        num_g = gt_bboxes.shape[1]
+        gt_rank = jnp.arange(1, num_g + 1, dtype=jnp.int32)
         for lvl in range(num_lvls):
             h, w = featmap_sizes[lvl]
             total_cells += h * w
             own = gt_valid & (tgt_lvl == lvl)
-            center = jnp.any(region_mask(h, w, strides[lvl], gt_bboxes, r1,
-                                         own), axis=1)
-            ignore = jnp.any(region_mask(h, w, strides[lvl], gt_bboxes, r2,
-                                         own), axis=1)
+            center = region_mask(h, w, strides[lvl], gt_bboxes, r1, own)
+            ignore = region_mask(h, w, strides[lvl], gt_bboxes, r2, own)
             adj = gt_valid & ((tgt_lvl == lvl - 1) | (tgt_lvl == lvl + 1))
             adj_ignore = jnp.any(
                 region_mask(h, w, strides[lvl], gt_bboxes, r2, adj), axis=1)
-            targets = center.astype(jnp.float32)
-            weights = jnp.where(center, 1.0,
-                                jnp.where(ignore | adj_ignore, 0.0, 0.1))
+            targets = jnp.any(center, axis=1).astype(jnp.float32)
+            # the reference paints per gt IN ORDER (ignore ring w=0, then
+            # center w=1), so a LATER gt's ignore ring zeroes an EARLIER
+            # gt's center cells (ga_loc_targets:440-445); reproduce the
+            # overwrite with per-cell last-writer ranks
+            c_rank = jnp.max(jnp.where(center, gt_rank[None, :, None, None],
+                                       0), axis=1)  # (B, H, W)
+            i_rank = jnp.max(jnp.where(ignore, gt_rank[None, :, None, None],
+                                       0), axis=1)
+            weights = jnp.where(
+                (c_rank > 0) & (c_rank >= i_rank), 1.0,
+                jnp.where((i_rank > 0) | adj_ignore, 0.0, 0.1))
             out.append((targets, weights))
         b = gt_bboxes.shape[0]
         return out, b * total_cells / 200.0
@@ -240,8 +252,16 @@ class GARetinaHead(nn.Module):
         loss_loc = 0.
         for lvl, (tgt, wgt) in enumerate(lvl_maps):
             logit = loc_preds[lvl].astype(jnp.float32)[..., 0]
+            # label-convention artifact reproduced for parity: the
+            # reference feeds loc_target (1 at centers) as a LONG label
+            # into a 1-channel FocalLoss, where mmdet 2.x's 0-based
+            # convention makes label 0 the positive channel and label 1
+            # background — so channel 0's binary target is 1-tgt
+            # (focal_loss.py one-hot slice; verified against the live
+            # reference). Inference's loc_filter (sigmoid >= 0.01) reads
+            # the same trained signal on both sides.
             loss_loc = loss_loc + L.sigmoid_focal_loss(
-                logit[..., None], tgt[..., None],
+                logit[..., None], (1.0 - tgt)[..., None],
                 gamma=self.focal_gamma, alpha=self.focal_alpha,
                 weight=wgt[..., None], reduction='sum') / loc_avg
 
@@ -260,16 +280,25 @@ class GARetinaHead(nn.Module):
 
         ga_assigned = jax.vmap(assign_shape)(gt_bboxes, gt_valid)  # (B, A)
         ga_pos = ga_assigned >= 0
-        ga_num_pos = jnp.maximum(jnp.sum(ga_pos.astype(jnp.float32)), 1.0)
         gt_idx = jnp.clip(ga_assigned, 0, None)
         matched = jnp.take_along_axis(gt_bboxes, gt_idx[..., None], axis=1)
         matched = jnp.where(ga_pos[..., None], matched,
                             jnp.broadcast_to(squares[None], matched.shape))
         pred_anchors = self._decode_shape(squares[None], shape_flat)
+        # the reference normalizes by the ga_sampler's fg+bg count
+        # (RandomSampler num=256/img: anchor_total_num = anchor_fg_num +
+        # anchor_bg_num, guided_anchor_head.py:34-35). All positives are
+        # kept in the numerator (the sampler would subsample only past
+        # 128 positives per image — a documented superset).
+        fg = jnp.sum(ga_pos.astype(jnp.float32), axis=1)
+        fg_capped = jnp.minimum(fg, self.ga_sample_num / 2)
+        neg = jnp.sum((ga_assigned == NEGATIVE).astype(jnp.float32), axis=1)
+        bg = jnp.minimum(neg, self.ga_sample_num - fg_capped)
+        anchor_total = jnp.maximum(jnp.sum(fg_capped + bg), 1.0)
         loss_shape = L.bounded_iou_loss(
             pred_anchors, matched, beta=self.loss_shape_beta,
             weight=ga_pos[..., None].astype(jnp.float32),
-            avg_factor=ga_num_pos, reduction='sum') / ga_num_pos
+            reduction='sum') / anchor_total
 
         # ---- cls/bbox on guided anchors
         guided = jax.lax.stop_gradient(pred_anchors)  # (B, A, 4)
@@ -425,8 +454,11 @@ class GARPNHead(GARetinaHead):
         loss_loc = 0.
         for lvl, (tgt, wgt) in enumerate(lvl_maps):
             logit = loc_preds[lvl].astype(jnp.float32)[..., 0]
+            # same 1-channel FocalLoss label-convention artifact as
+            # GARetinaHead.loss — channel 0's binary target is 1-tgt
             loss_loc = loss_loc + L.sigmoid_focal_loss(
-                logit[..., None], tgt[..., None], gamma=self.focal_gamma,
+                logit[..., None], (1.0 - tgt)[..., None],
+                gamma=self.focal_gamma,
                 alpha=self.focal_alpha, weight=wgt[..., None],
                 reduction='sum') / loc_avg
 
@@ -444,16 +476,22 @@ class GARPNHead(GARetinaHead):
 
         ga_assigned = jax.vmap(assign_shape)(gt_bboxes, gt_valid)
         ga_pos = ga_assigned >= 0
-        ga_num_pos = jnp.maximum(jnp.sum(ga_pos.astype(jnp.float32)), 1.0)
         gt_idx = jnp.clip(ga_assigned, 0, None)
         matched = jnp.take_along_axis(gt_bboxes, gt_idx[..., None], axis=1)
         matched = jnp.where(ga_pos[..., None], matched,
                             jnp.broadcast_to(squares[None], matched.shape))
         pred_anchors = ga._decode_shape(squares[None], shape_flat)
+        # fg+bg sampled-count normalization, as in GARetinaHead.loss
+        fg = jnp.sum(ga_pos.astype(jnp.float32), axis=1)
+        fg_capped = jnp.minimum(fg, self.ga_sample_num / 2)
+        neg_cnt = jnp.sum((ga_assigned == NEGATIVE).astype(jnp.float32),
+                          axis=1)
+        bg = jnp.minimum(neg_cnt, self.ga_sample_num - fg_capped)
+        anchor_total = jnp.maximum(jnp.sum(fg_capped + bg), 1.0)
         loss_shape = L.bounded_iou_loss(
             pred_anchors, matched, beta=self.loss_shape_beta,
             weight=ga_pos[..., None].astype(jnp.float32),
-            reduction='sum') / ga_num_pos
+            reduction='sum') / anchor_total
 
         guided = jax.lax.stop_gradient(pred_anchors)
         from ...core.assigners import max_iou_assign
