@@ -1668,6 +1668,93 @@ def test_ga_retina_loss_matches_reference():
                                rtol=1e-4)
 
 
+def test_centripetal_loss_matches_reference():
+    """CentripetalNet training loss (reference centripetal_head.py::
+    loss_single: CornerNet heatmap/offset + smooth-L1 guiding (0.05) and
+    centripetal (1.0) shifts at corner positions)."""
+    import torch
+    heads = refbridge.ref_import('mmdet.models.dense_heads')
+    s_img = 128
+    f = 32
+    ref = heads.CentripetalHead(
+        num_classes=NUM_CLASSES, in_channels=8, num_feat_levels=2,
+        corner_emb_channels=0,
+        loss_heatmap=dict(type='GaussianFocalLoss', alpha=2.0, gamma=4.0,
+                          loss_weight=1),
+        loss_offset=dict(type='SmoothL1Loss', beta=1.0, loss_weight=1),
+        loss_guiding_shift=dict(type='SmoothL1Loss', beta=1.0,
+                                loss_weight=0.05),
+        loss_centripetal_shift=dict(type='SmoothL1Loss', beta=1.0,
+                                    loss_weight=1))
+    ref.requires_grad_(False)
+
+    def maps(ch):
+        return [(RNG.randn(2, ch, f, f)).astype(np.float32)
+                for _ in range(2)]
+
+    tl_heats, br_heats = maps(NUM_CLASSES), maps(NUM_CLASSES)
+    tl_offs, br_offs = maps(2), maps(2)
+    tl_guides, br_guides = maps(2), maps(2)
+    tl_centris, br_centris = maps(2), maps(2)
+    boxes = []
+    for _ in range(3):
+        x, y = RNG.rand(2) * 60
+        w, h = RNG.rand(2) * 50 + 12
+        boxes.append([x, y, min(x + w, s_img - 1), min(y + h, s_img - 1)])
+    gt_boxes = np.array(boxes, np.float32)
+    gt_labels = RNG.randint(0, NUM_CLASSES, size=3).astype(np.int64)
+
+    with torch.no_grad():
+        ref_losses = ref.loss(
+            [torch.from_numpy(m) for m in tl_heats],
+            [torch.from_numpy(m) for m in br_heats],
+            [torch.from_numpy(m) for m in tl_offs],
+            [torch.from_numpy(m) for m in br_offs],
+            [torch.from_numpy(m) for m in tl_guides],
+            [torch.from_numpy(m) for m in br_guides],
+            [torch.from_numpy(m) for m in tl_centris],
+            [torch.from_numpy(m) for m in br_centris],
+            [torch.from_numpy(gt_boxes), torch.from_numpy(gt_boxes[:2])],
+            [torch.from_numpy(gt_labels), torch.from_numpy(gt_labels[:2])],
+            img_metas=[{'img_shape': (s_img, s_img, 3),
+                        'pad_shape': (s_img, s_img, 3)}] * 2)
+    ref_det = sum(float(v) for v in ref_losses['det_loss'])
+    ref_off = sum(float(v) for v in ref_losses['off_loss'])
+    ref_guide = sum(float(v) for v in ref_losses['guiding_loss'])
+    ref_centri = sum(float(v) for v in ref_losses['centripetal_loss'])
+
+    from tpudet.models.dense_heads.centripetal_head import CentripetalHead
+    head = CentripetalHead(num_classes=NUM_CLASSES, in_channels=8)
+    G = 4
+    pad_boxes = np.zeros((2, G, 4), np.float32)
+    pad_boxes[0, :3] = gt_boxes
+    pad_boxes[1, :2] = gt_boxes[:2]
+    pad_labels = np.zeros((2, G), np.int32)
+    pad_labels[0, :3] = gt_labels
+    pad_labels[1, :2] = gt_labels[:2]
+    valid = np.zeros((2, G), bool)
+    valid[0, :3] = True
+    valid[1, :2] = True
+
+    def nhwc(ms):
+        return tuple(jnp.asarray(np.transpose(m, (0, 2, 3, 1))) for m in ms)
+
+    mine = head.loss(
+        (nhwc(tl_heats), nhwc(br_heats), nhwc(tl_offs), nhwc(br_offs),
+         nhwc(tl_guides), nhwc(br_guides), nhwc(tl_centris),
+         nhwc(br_centris)),
+        jnp.asarray(pad_boxes), jnp.asarray(pad_labels),
+        jnp.asarray(valid), img_size=float(s_img))
+    np.testing.assert_allclose(float(mine['loss_heatmap']), ref_det,
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(mine['loss_offset']), ref_off,
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(mine['loss_guiding']), ref_guide,
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(mine['loss_centripetal']), ref_centri,
+                               rtol=1e-4)
+
+
 def test_ssd_loss_matches_reference():
     """SSD300 training loss (reference ssd_head.py::loss_single: MaxIoU
     assignment with low-quality matches, softmax CE with 3:1 OHEM hard

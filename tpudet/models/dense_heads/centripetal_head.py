@@ -155,14 +155,16 @@ class CentripetalHead(CornerHead):
                     br_p, br_hm, avg_factor=jnp.maximum(
                         jnp.sum((br_hm == 1).astype(jnp.float32)),
                         1.0))) / 2.0
+            # offset avg_factor counts corner POSITIONS (the (B,1,H,W)
+            # mask sum, corner_head.py:628-646), not x/y elements
             off_l += (L.smooth_l1_loss(
                 tl_offs[lvl].astype(jnp.float32), tl_of,
                 weight=tl_m[..., None].astype(jnp.float32),
-                avg_factor=jnp.maximum(jnp.sum(tl_m) * 2, 1.0)) +
+                avg_factor=jnp.maximum(jnp.sum(tl_m), 1.0)) +
                 L.smooth_l1_loss(
                     br_offs[lvl].astype(jnp.float32), br_of,
                     weight=br_m[..., None].astype(jnp.float32),
-                    avg_factor=jnp.maximum(jnp.sum(br_m) * 2, 1.0))) / 2.0
+                    avg_factor=jnp.maximum(jnp.sum(br_m), 1.0))) / 2.0
 
             def shift_loss(pred, tgt, mask, weight):
                 return L.smooth_l1_loss(
