@@ -80,12 +80,49 @@ def main():
     t2, x = run(2 * m, x)
     dt = max(t2 - t1, 1e-9)
     imgs_per_sec = batch * m / dt
-    print(json.dumps({
+
+    # self-describing artifact: record exactly which NMS budgets / config
+    # produced the number so any drift between rounds is attributable
+    import hashlib
+    cfg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            'configs/yolov4/yolov4l_coco_mosaic.py')
+    from tpudet.config import Config
+    shipped = Config.fromfile(cfg_path)
+    test_cfg = dict(shipped['model']['test_cfg'])
+    cfg_hash = hashlib.sha256(
+        json.dumps(test_cfg, sort_keys=True, default=str)
+        .encode()).hexdigest()[:12]
+
+    result = {
         'metric': 'yolov4l-640 e2e inference (fwd+decode+NMS)',
         'value': round(imgs_per_sec, 2),
         'unit': 'img/s/chip',
         'vs_baseline': round(imgs_per_sec / BASELINE_V100_FPS, 3),
-    }))
+        'batch': batch,
+        'anchor_pre': test_cfg.get('anchor_pre'),
+        'class_pre': test_cfg.get('class_pre'),
+        'config_hash': cfg_hash,
+    }
+
+    # regression guard: compare with the last committed round artifact
+    # and warn (stderr, so the JSON line stays clean) on a >3% drop
+    import glob
+    prior = sorted(glob.glob(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), 'BENCH_r*.json')))
+    if prior:
+        try:
+            with open(prior[-1]) as f:
+                last = json.load(f).get('parsed', {})
+            lv = last.get('value')
+            if lv and imgs_per_sec < 0.97 * lv:
+                print(f'WARNING: throughput regression: {imgs_per_sec:.1f} '
+                      f'img/s vs {lv:.1f} in {os.path.basename(prior[-1])} '
+                      f'({100 * (1 - imgs_per_sec / lv):.1f}% drop)',
+                      file=sys.stderr)
+        except Exception as e:
+            print(f'regression check skipped: {e}', file=sys.stderr)
+
+    print(json.dumps(result))
 
 
 if __name__ == '__main__':

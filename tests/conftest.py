@@ -29,3 +29,24 @@ jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax-cpu')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Auto-mark the long-running categories `slow` so `-m "not slow"`
+    gives a fast (<~15 min on this 1-core host) signal; the full suite
+    (incl. the live-reference oracle tests) stays the complete gate."""
+    import pytest
+    slow_fragments = (
+        '/ref_oracle/',            # imports + runs the torch reference
+        'test_config_forward',     # builds + forwards every config family
+        'test_overfit',            # multi-step training runs
+        'test_segm_e2e',           # Mask R-CNN end-to-end
+        'test_plugin_families',    # builds several full detectors
+        'test_sharded_eval',       # 8-device eval loops
+        'test_train_api',          # train_detector end-to-end runs
+        'test_pisa_ld',            # full detector losses
+    )
+    for item in items:
+        p = str(item.fspath)
+        if any(f in p for f in slow_fragments):
+            item.add_marker(pytest.mark.slow)

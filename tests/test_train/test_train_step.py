@@ -139,3 +139,25 @@ def test_grad_accumulation_sums_micro_grads():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_misnamed_forward_train_arg_fails_loudly():
+    """Name-based signature dispatch must raise (naming the key) when a
+    required forward_train parameter has no dummy/batch binding — a silent
+    arg-list truncation here once left the LD teacher never built."""
+    import flax.linen as nn
+    import pytest
+
+    class BadModel(nn.Module):
+        @nn.compact
+        def __call__(self, img):
+            return nn.Dense(4)(img)
+
+        def forward_train(self, img, gt_boxen):  # deliberately mis-named
+            return {'loss': jnp.sum(nn.Dense(4)(img))}
+
+    opt_cfg = YoloSGDConfig(lr=0.01, total_steps=10, warmup_iters=0,
+                            steps_per_epoch=0)
+    with pytest.raises(TypeError, match='gt_boxen'):
+        create_train_state(BadModel(), jax.random.PRNGKey(0),
+                           jnp.zeros((1, 16, 16, 3)), opt_cfg)

@@ -156,18 +156,25 @@ def train_detector(cfg: Config,
         # families, SparseRCNN, YOLACT, KD, ...): build the arg list from
         # the forward_train signature by name
         import inspect
-        ft_params = [n for n in inspect.signature(
-            model.forward_train).parameters]
+        ft_sig = inspect.signature(model.forward_train)
 
         def loss_fn(params, batch_stats, batch):  # noqa: F811
             args = []
-            for name in ft_params:
+            for name, p in ft_sig.parameters.items():
                 if name == 'img':
                     args.append(batch['img'])
                 elif name in batch:
                     args.append(batch[name])
-                else:
+                elif p.default is not inspect.Parameter.empty:
                     break  # optional tail args (e.g. gt_semantic_seg)
+                else:
+                    # name-based dispatch must not silently truncate the
+                    # arg list when a REQUIRED parameter is missing from
+                    # the batch (this bit once: LD teacher never built)
+                    raise TypeError(
+                        f"forward_train of {type(model).__name__} requires "
+                        f"parameter '{name}' but the batch only provides "
+                        f"{sorted(batch)}")
             losses, mutated = model.apply(
                 {'params': params, 'batch_stats': batch_stats},
                 *args, method='forward_train', mutable=['batch_stats'])

@@ -31,7 +31,8 @@ def max_iou_assign(anchors: jnp.ndarray,
                    pos_iou_thr: float = 0.5,
                    neg_iou_thr: float = 0.4,
                    min_pos_iou: float = 0.0,
-                   match_low_quality: bool = True) -> jnp.ndarray:
+                   match_low_quality: bool = True,
+                   gt_max_assign_all: bool = True) -> jnp.ndarray:
     """Single image. anchors (A, 4), gt (G, 4) padded, gt_valid (G,).
 
     Returns (A,) int32 assignment codes.
@@ -47,10 +48,18 @@ def max_iou_assign(anchors: jnp.ndarray,
     assigned = jnp.where(max_iou >= pos_iou_thr, argmax_gt, assigned)
 
     if match_low_quality:
-        # per-gt best anchors (ties), IoU >= min_pos_iou; later gts override
-        # (reference max_iou_assigner.py loop order)
+        # per-gt best anchors, IoU >= min_pos_iou; later gts override
+        # (reference max_iou_assigner.py loop order). With
+        # gt_max_assign_all=False only the FIRST argmax anchor is taken —
+        # IoU ties between anchors of different shapes are real (YOLACT's
+        # config relies on this, configs/yolact/yolact_r50_1x8_coco.py).
         gt_max = jnp.max(ious, axis=0)  # (G,)
-        is_best = (ious == gt_max[None, :]) & gt_valid[None, :] & (
+        if gt_max_assign_all:
+            is_tie = ious == gt_max[None, :]
+        else:
+            first = jnp.argmax(ious, axis=0)  # (G,) first maximal anchor
+            is_tie = jnp.arange(anchors.shape[0])[:, None] == first[None, :]
+        is_best = is_tie & gt_valid[None, :] & (
             gt_max[None, :] >= min_pos_iou) & (gt_max[None, :] > 0)
         g_idx = jnp.arange(gt_bboxes.shape[0], dtype=jnp.int32)
         # highest gt index claiming this anchor, -1 if none

@@ -92,7 +92,10 @@ class SSDHead(nn.Module):
                                         0.0, True)
         pos = assigned >= 0
         neg = assigned == -1
-        num_pos = jnp.maximum(jnp.sum(pos.astype(jnp.float32)), 1.0)
+        # reference normalizer: sum over images of max(num_pos_img, 1)
+        # (anchor_head.py get_targets: num_total_pos = sum(max(inds, 1)))
+        num_pos = jnp.sum(jnp.maximum(
+            jnp.sum(pos.astype(jnp.float32), axis=1), 1.0))
 
         gt_idx = jnp.clip(assigned, 0, None)
         labels = jnp.where(
@@ -110,6 +113,9 @@ class SSDHead(nn.Module):
         order = jnp.argsort(-neg_ce, axis=1)
         rank = jnp.argsort(order, axis=1)  # rank of each anchor's neg loss
         pos_per_img = jnp.sum(pos, axis=1)
+        # NOTE: unlike YOLACT's loss_single_OHEM, the reference SSD
+        # (ssd_head.py:157-160) has NO zero-pos fallback — an image with
+        # no positives contributes 3*0 = 0 negatives (zero cls loss)
         k_i = self.neg_pos_ratio * pos_per_img
         neg_keep = neg & (rank < k_i[:, None])
 

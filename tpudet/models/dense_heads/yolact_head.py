@@ -120,12 +120,20 @@ class YOLACTHead(nn.Module):
         anchors = jnp.asarray(self._flat_anchors(featmap_sizes))
         cls_flat, reg_flat, _ = self.flatten(preds)
 
-        assigned = max_iou_assign_batch(anchors, gt_bboxes, gt_valid,
-                                        self.pos_iou_thr, self.neg_iou_thr,
-                                        0., True)
+        # YOLACT's assigner is the one shipped config with
+        # gt_max_assign_all=False: IoU ties for a gt's best anchor keep
+        # only the FIRST anchor (configs/yolact/yolact_r50_1x8_coco.py:74)
+        from ...core.assigners import max_iou_assign
+        assigned = jax.vmap(
+            lambda g, gv: max_iou_assign(
+                anchors, g, gv, self.pos_iou_thr, self.neg_iou_thr, 0.,
+                True, gt_max_assign_all=False))(gt_bboxes, gt_valid)
         pos = assigned >= 0
         neg = assigned == NEGATIVE
-        num_pos = jnp.maximum(jnp.sum(pos.astype(jnp.float32)), 1.0)
+        # reference normalizer: sum over images of max(num_pos_img, 1)
+        # (anchor_head.py get_targets: num_total_pos = sum(max(inds, 1)))
+        num_pos = jnp.sum(jnp.maximum(
+            jnp.sum(pos.astype(jnp.float32), axis=1), 1.0))
         gt_idx = jnp.clip(assigned, 0, None)
         labels = jnp.where(pos,
                            jnp.take_along_axis(gt_labels, gt_idx, axis=1),
@@ -137,7 +145,12 @@ class YOLACTHead(nn.Module):
         neg_loss = jnp.where(neg, ce, -1.0)
         rank = jnp.argsort(jnp.argsort(-neg_loss, axis=1), axis=1)
         n_pos_img = jnp.sum(pos.astype(jnp.float32), axis=1, keepdims=True)
-        hard_neg = neg & (rank < self.neg_pos_ratio * n_pos_img)
+        # reference loss_single_OHEM (yolact_head.py:273-277): an image
+        # with zero positives contributes ALL its negatives, not zero
+        neg_limit = jnp.where(n_pos_img > 0,
+                              self.neg_pos_ratio * n_pos_img,
+                              jnp.inf)
+        hard_neg = neg & (rank < neg_limit)
         cls_w = (pos | hard_neg).astype(jnp.float32)
         loss_cls = jnp.sum(ce * cls_w) / num_pos
 

@@ -28,6 +28,9 @@ STAGE_WEIGHTS = (1.0, 0.5, 0.25)
 @HEADS.register_module()
 class CascadeRoIHead(StandardRoIHead):
     num_stages: int = 3
+    # reference cascade stages use SmoothL1(beta=1), not Faster R-CNN's
+    # plain L1 (cascade_rcnn_r50_fpn.py loss_bbox per stage)
+    loss_bbox_type: str = 'smooth_l1'
 
     def setup(self):
         self.bbox_heads = [
@@ -60,7 +63,9 @@ class CascadeRoIHead(StandardRoIHead):
         thr = STAGE_IOUS[stage]
 
         def one(r, v, g, gv):
-            a = max_iou_assign(r, g, gv, thr, thr, thr, True)
+            # reference cascade rcnn assigners set match_low_quality=False
+            # at EVERY stage (cascade_rcnn_r50_fpn.py:127,143,159)
+            a = max_iou_assign(r, g, gv, thr, thr, thr, False)
             return jnp.where(v, a, -2)
 
         assigned = jax.vmap(one)(rois, roi_valid, gt_bboxes, gt_valid)
@@ -121,8 +126,10 @@ class CascadeRCNN(TwoStageDetector):
             iou_thr=cfg.get('nms', {}).get('iou_threshold', 0.7))
         proposals = jax.lax.stop_gradient(proposals)
 
-        rois, sampled0, labels, targets, pos = self.roi_head.sample_rois(
-            proposals, prop_valid, gt_bboxes, gt_labels, gt_valid)
+        rois, sampled0, labels, targets, pos, is_gt = \
+            self.roi_head.sample_rois(proposals, prop_valid, gt_bboxes,
+                                      gt_labels, gt_valid,
+                                      return_is_gt=True)
         roi_valid = sampled0
         for stage in range(self.roi_head.num_stages):
             cls_logits, deltas = self.roi_head.run_stage(
@@ -141,10 +148,17 @@ class CascadeRCNN(TwoStageDetector):
             losses[f'loss_cls_s{stage}'] = stage_losses['loss_cls'] * w
             losses[f'loss_bbox_s{stage}'] = stage_losses['loss_bbox'] * w
             if stage < self.roi_head.num_stages - 1:
-                rois = jax.lax.stop_gradient(
+                refined = jax.lax.stop_gradient(
                     self.roi_head.refine(stage, rois,
                                          deltas.astype(jnp.float32),
                                          img.shape[1:3]))
+                # the reference drops gt-origin rois when refining
+                # (bbox_head.py:420 refine_bboxes keep = 1 - pos_is_gts)
+                # and the next stage's RandomSampler re-appends the fresh
+                # gt boxes (cascade cfg add_gt_as_proposals=True at every
+                # stage) — net effect: gt slots stay the pristine gt
+                # boxes, everything else is refined
+                rois = jnp.where(is_gt[..., None], rois, refined)
         losses['num_gts'] = jnp.mean(
             jnp.sum(gt_valid.astype(jnp.float32), axis=1))
         return losses

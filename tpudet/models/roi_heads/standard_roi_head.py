@@ -116,7 +116,7 @@ class StandardRoIHead(nn.Module):
     # ------------------------------------------------------------------
     def sample_rois(self, proposals, prop_valid, gt_bboxes, gt_labels,
                     gt_valid, num_samples: Optional[int] = None,
-                    iou_thr=None):
+                    iou_thr=None, return_is_gt: bool = False):
         """Assign + static 'random' sampling -> fixed-size roi batch.
 
         ``iou_thr`` (scalar, possibly traced) overrides the pos/neg/min
@@ -207,6 +207,16 @@ class StandardRoIHead(nn.Module):
         matched = jnp.take_along_axis(gt_bboxes, gt_idx[..., None], axis=1)
         matched = jnp.where(out_pos[..., None], matched, out_rois)
         targets = self.bbox_coder.encode(out_rois, matched)
+        if return_is_gt:
+            # which sampled slots came from the appended gt block — the
+            # reference's SamplingResult.pos_is_gt, consumed by cascade's
+            # refine_bboxes (bbox_head.py:420 keep = 1 - pos_is_gts)
+            src_is_gt = jnp.arange(n_rois) >= proposals.shape[1]
+            out_is_gt = jnp.take_along_axis(
+                jnp.broadcast_to(src_is_gt[None], sampled.shape), order,
+                axis=1)
+            return (out_rois, out_sampled, labels, targets, out_pos,
+                    out_is_gt)
         return out_rois, out_sampled, labels, targets, out_pos
 
     def loss(self, cls_logits, deltas, labels, targets, pos, sampled,
@@ -229,6 +239,13 @@ class StandardRoIHead(nn.Module):
         if self.loss_bbox_type == 'balanced_l1':
             loss_bbox = L.balanced_l1_loss(
                 reg, targets, weight=pos[..., None].astype(jnp.float32),
+                avg_factor=num_total)
+        elif self.loss_bbox_type == 'smooth_l1':
+            # cascade stages regress with SmoothL1(beta=1), not plain L1
+            # (reference cascade_rcnn_r50_fpn.py loss_bbox per stage)
+            loss_bbox = L.smooth_l1_loss(
+                reg, targets, beta=1.0,
+                weight=pos[..., None].astype(jnp.float32),
                 avg_factor=num_total)
         else:
             loss_bbox = L.l1_loss(reg, targets,

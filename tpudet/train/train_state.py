@@ -71,8 +71,15 @@ def create_train_state(model, rng, sample_img, opt_cfg: YoloSGDConfig):
             elif p.default is not inspect.Parameter.empty:
                 break
             else:
-                ok = False
-                break
+                # Dispatch is by parameter NAME; a mis-named required arg
+                # must fail loudly, not silently fall back to plain init
+                # (which would skip train-only submodule creation).
+                raise TypeError(
+                    f"create_train_state: forward_train of "
+                    f"{type(model).__name__} requires parameter '{name}' "
+                    f"which has no synthesized dummy; known names: "
+                    f"{sorted(dummies)} + 'img'. Rename the parameter or "
+                    f"extend the dummies table.")
         if ok:
             variables = jax.jit(model.init, static_argnames=('method',))(
                 rng, *args, method='forward_train')

@@ -205,3 +205,100 @@ def torch_module_sequence(torch_model, forward_fn) -> List[Dict]:
         for h in hooks:
             h.remove()
     return order
+
+
+def torch_module_refs(torch_model, forward_fn) -> List:
+    """Like :func:`torch_module_sequence` but returns the live module
+    objects (execution order) instead of copied tensors — used by the
+    REVERSE converter that loads tpudet weights into a torch reference
+    model for two-stack A/B runs."""
+    import torch
+    import torch.nn as tnn
+
+    order: List = []
+    seen = set()
+    hooks = []
+
+    def make_hook(mod):
+        def hook(module, inputs):
+            if id(module) not in seen:
+                seen.add(id(module))
+                order.append(module)
+        return hook
+
+    for _, mod in torch_model.named_modules():
+        if isinstance(mod, (tnn.Conv2d, tnn.BatchNorm2d, tnn.Linear)):
+            hooks.append(mod.register_forward_pre_hook(make_hook(mod)))
+    try:
+        with torch.no_grad():
+            forward_fn(torch_model)
+    finally:
+        for h in hooks:
+            h.remove()
+    return order
+
+
+def assign_flax_to_torch(variables: Dict[str, Any],
+                         flax_order: List[Tuple[str, str]],
+                         torch_modules: List) -> None:
+    """Copy flax variables into torch modules, zipping the two
+    execution-order sequences (inverse of :func:`assign_torch_sequence`;
+    same loud shape checking). Mutates the torch modules in place."""
+    import torch
+    import torch.nn as tnn
+
+    params = variables['params']
+    batch_stats = variables.get('batch_stats', {})
+    if len(flax_order) != len(torch_modules):
+        raise ValueError(
+            f'layer count mismatch: flax has {len(flax_order)} '
+            f'conv/bn/dense calls, torch has {len(torch_modules)}')
+    for (path, kind), mod in zip(flax_order, torch_modules):
+        if kind == 'conv':
+            if not isinstance(mod, tnn.Conv2d):
+                raise ValueError(f'kind mismatch at {path}: flax conv vs '
+                                 f'torch {type(mod).__name__}')
+            node = _get_subtree(params, path)
+            w = np.transpose(np.asarray(node['kernel'], np.float32),
+                             (3, 2, 0, 1))  # HWIO -> OIHW
+            if tuple(mod.weight.shape) != w.shape:
+                raise ValueError(f'conv shape mismatch at {path}: torch '
+                                 f'{tuple(mod.weight.shape)} flax {w.shape}')
+            mod.weight.data.copy_(torch.from_numpy(w))
+            if 'bias' in node:
+                if mod.bias is None:
+                    raise ValueError(f'flax conv at {path} has bias but '
+                                     'torch conv does not')
+                mod.bias.data.copy_(torch.from_numpy(
+                    np.asarray(node['bias'], np.float32)))
+            elif mod.bias is not None:
+                raise ValueError(f'torch conv has bias but flax conv at '
+                                 f'{path} does not')
+        elif kind == 'dense':
+            if not isinstance(mod, tnn.Linear):
+                raise ValueError(f'kind mismatch at {path}: flax dense vs '
+                                 f'torch {type(mod).__name__}')
+            node = _get_subtree(params, path)
+            w = np.transpose(np.asarray(node['kernel'], np.float32), (1, 0))
+            if tuple(mod.weight.shape) != w.shape:
+                raise ValueError(f'dense shape mismatch at {path}')
+            mod.weight.data.copy_(torch.from_numpy(w))
+            if 'bias' in node and mod.bias is not None:
+                mod.bias.data.copy_(torch.from_numpy(
+                    np.asarray(node['bias'], np.float32)))
+        else:  # bn
+            if not isinstance(mod, tnn.BatchNorm2d):
+                raise ValueError(f'kind mismatch at {path}: flax bn vs '
+                                 f'torch {type(mod).__name__}')
+            pnode = _get_subtree(params, path)
+            snode = _get_subtree(batch_stats, path)
+            if tuple(mod.weight.shape) != np.asarray(pnode['scale']).shape:
+                raise ValueError(f'bn shape mismatch at {path}')
+            mod.weight.data.copy_(torch.from_numpy(
+                np.asarray(pnode['scale'], np.float32)))
+            mod.bias.data.copy_(torch.from_numpy(
+                np.asarray(pnode['bias'], np.float32)))
+            mod.running_mean.data.copy_(torch.from_numpy(
+                np.asarray(snode['mean'], np.float32)))
+            mod.running_var.data.copy_(torch.from_numpy(
+                np.asarray(snode['var'], np.float32)))
