@@ -9,6 +9,7 @@ hard-coded ``resume_from=latest`` pattern (SURVEY.md §5).
 """
 from __future__ import annotations
 
+import os
 import os.path as osp
 import time
 from typing import Dict, Optional
@@ -74,6 +75,7 @@ def train_detector(cfg: Config,
                    resume: bool = True,
                    eval_interval: Optional[int] = None) -> Dict:
     """Config-driven training. Returns final metrics dict."""
+    os.makedirs(work_dir, exist_ok=True)  # every host logs locally
     logger = get_root_logger(osp.join(work_dir, 'train.log'))
 
     dataset = build_dataset(cfg['data']['train'])
