@@ -407,7 +407,8 @@ def multiclass_nms(bboxes: jax.Array,
                    valid: Optional[jax.Array] = None,
                    nms_type: str = 'nms',
                    sigma: float = 0.5,
-                   min_score: float = 1e-3) -> NMSResult:
+                   min_score: float = 1e-3,
+                   method: str = 'linear') -> NMSResult:
     """Class-aware NMS for one image, shape-static.
 
     Mirrors reference ``multiclass_nms`` (bbox_nms.py:7): every (box, class)
@@ -455,7 +456,7 @@ def multiclass_nms(bboxes: jax.Array,
     if nms_type == 'soft_nms':
         keep_idx, soft_scores, keep_valid = soft_nms_padded(
             offset_boxes, top_scores, iou_thr, max_per_img, top_valid,
-            sigma=sigma, min_score=min_score)
+            sigma=sigma, min_score=min_score, method=method)
         det_scores = jnp.where(keep_valid, soft_scores, 0.)
     else:
         keep_idx, keep_valid = nms_padded(offset_boxes, top_scores, iou_thr,
@@ -689,11 +690,12 @@ def bbox_overlaps_ck(boxes):
 
 def batched_nms(bboxes, scores, score_thr, iou_thr, max_per_img,
                 nms_pre=4096, valid=None, nms_type='nms', sigma=0.5,
-                min_score=1e-3) -> NMSResult:
+                min_score=1e-3, method='linear') -> NMSResult:
     """`multiclass_nms` vmapped over a leading batch axis."""
     fn = partial(multiclass_nms, score_thr=score_thr, iou_thr=iou_thr,
                  max_per_img=max_per_img, nms_pre=nms_pre,
-                 nms_type=nms_type, sigma=sigma, min_score=min_score)
+                 nms_type=nms_type, sigma=sigma, min_score=min_score,
+                 method=method)
     if valid is None:
         return jax.vmap(lambda b, s: fn(b, s))(bboxes, scores)
     return jax.vmap(lambda b, s, v: fn(b, s, valid=v))(bboxes, scores, valid)

@@ -190,7 +190,9 @@ class CentripetalHead(CornerHead):
     def get_bboxes(self, preds, scale_factors=None, img_size: float = None,
                    corner_topk: int = 100, num_dets: int = 1000,
                    dist_thr: float = 0.5, score_thr: float = 0.05,
-                   iou_thr: float = 0.5, max_per_img: int = 100, **kwargs):
+                   iou_thr: float = 0.5, max_per_img: int = 100,
+                   method: str = 'linear', sigma: float = 0.5,
+                   min_score: float = 1e-3, **kwargs):
         (tl_heats, br_heats, tl_offs, br_offs, _, _, tl_centris,
          br_centris) = preds
         tl_p = jax.nn.sigmoid(tl_heats[-1].astype(jnp.float32))
@@ -277,7 +279,8 @@ class CentripetalHead(CornerHead):
 
         def one(bx, sc, lb, of, vm):
             keep_idx, keep_scores, keep_valid = soft_nms_padded(
-                bx + of, sc, iou_thr, max_per_img, valid=vm)
+                bx + of, sc, iou_thr, max_per_img, valid=vm,
+                method=method, sigma=sigma, min_score=min_score)
             kb = bx[keep_idx]
             kl = lb[keep_idx]
             ok = keep_valid & (keep_scores > score_thr)

@@ -297,7 +297,9 @@ class CornerHead(nn.Module):
     def get_bboxes(self, preds, scale_factors=None, img_size: float = None,
                    corner_topk: int = 100, num_dets: int = 1000,
                    dist_thr: float = 0.5, score_thr: float = 0.05,
-                   iou_thr: float = 0.5, max_per_img: int = 100, **kwargs):
+                   iou_thr: float = 0.5, max_per_img: int = 100,
+                   method: str = 'linear', sigma: float = 0.5,
+                   min_score: float = 1e-3, **kwargs):
         tl_heats, br_heats, tl_embs, br_embs, tl_offs, br_offs = preds
         # last stack only (corner_head.py get_bboxes uses [-1])
         tl_p = jax.nn.sigmoid(tl_heats[-1].astype(jnp.float32))
@@ -367,8 +369,11 @@ class CornerHead(nn.Module):
         cls_off = labels.astype(jnp.float32)[..., None] * max_coord
 
         def one(bx, sc, lb, of, vm):
+            # the reference cornernet config asks soft_nms with
+            # method='gaussian' (configs/cornernet/*.py:28)
             keep_idx, keep_scores, keep_valid = soft_nms_padded(
-                bx + of, sc, iou_thr, max_per_img, valid=vm)
+                bx + of, sc, iou_thr, max_per_img, valid=vm,
+                method=method, sigma=sigma, min_score=min_score)
             kb = bx[keep_idx]
             kl = lb[keep_idx]
             ok = keep_valid & (keep_scores > score_thr)

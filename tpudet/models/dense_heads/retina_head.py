@@ -182,6 +182,8 @@ class RetinaHead(nn.Module):
     def get_bboxes(self, preds, scale_factors=None, score_thr: float = 0.05,
                    iou_thr: float = 0.5, max_per_img: int = 100,
                    nms_pre: int = 1000, img_shape=None, with_nms: bool = True,
+                   nms_type: str = 'nms', sigma: float = 0.5,
+                   min_score: float = 1e-3, method: str = 'linear',
                    **kwargs):
         """Per-level top-k -> decode -> padded class-aware NMS
         (reference anchor_head.py:492-740 path).
@@ -225,4 +227,6 @@ class RetinaHead(nn.Module):
             return bbox, jnp.concatenate([scores, padding], axis=-1)
         return batched_nms(bbox, scores, score_thr, iou_thr, max_per_img,
                            nms_pre=min(4096, bbox.shape[1] *
-                                       self.num_classes))
+                                       self.num_classes),
+                           nms_type=nms_type, sigma=sigma,
+                           min_score=min_score, method=method)

@@ -154,6 +154,7 @@ class YOLOCSPHead(nn.Module):
                    nms_type: str = 'nms',
                    sigma: float = 0.5,
                    min_score: float = 1e-3,
+                   method: str = 'linear',
                    **kwargs):
         """Batched decode + padded class-aware NMS. ``**kwargs`` absorbs
         ``img_shape`` from the shared eval path — the reference
@@ -210,7 +211,7 @@ class YOLOCSPHead(nn.Module):
         nms_pre = total if nms_pre <= 0 else min(nms_pre, total)
         return batched_nms(bbox, scores, score_thr, iou_thr, max_per_img,
                            nms_pre=nms_pre, nms_type=nms_type, sigma=sigma,
-                           min_score=min_score)
+                           min_score=min_score, method=method)
 
     # ------------------------------------------------------------------
     # training loss (assigner-free path)

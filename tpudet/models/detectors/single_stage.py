@@ -54,10 +54,9 @@ class SingleStageDetector(nn.Module):
                                          self.default_iou_thr)
             if nms_cfg.get('type', 'nms') != 'nms':
                 cfg['nms_type'] = nms_cfg['type']
-            if 'sigma' in nms_cfg:
-                cfg['sigma'] = nms_cfg['sigma']
-            if 'min_score' in nms_cfg:
-                cfg['min_score'] = nms_cfg['min_score']
+            for key in ('sigma', 'min_score', 'method'):
+                if key in nms_cfg:
+                    cfg[key] = nms_cfg[key]
         cfg.pop('min_bbox_size', None)
         for key in self.strip_test_keys:
             cfg.pop(key, None)
@@ -126,7 +125,7 @@ class DETR(SingleStageDetector):
     """DETR set-prediction detector (reference
     mmdet/models/detectors/detr.py); no neck, no NMS."""
     strip_test_keys = ('nms_pre', 'score_thr', 'iou_thr', 'nms_type',
-                       'sigma', 'min_score')
+                       'sigma', 'min_score', 'method')
 
 
 @DETECTORS.register_module()
