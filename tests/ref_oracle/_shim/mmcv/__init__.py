@@ -17,6 +17,23 @@ from .utils.progressbar import (ProgressBar, track_iter_progress,  # noqa
 from .version import version_info  # noqa: F401
 
 
+class FileClient:
+    """Disk-only stand-in for mmcv.FileClient (reference
+    pipelines/loading.py:54 instantiates it per transform)."""
+
+    def __init__(self, backend='disk', **kwargs):
+        if backend != 'disk':
+            raise NotImplementedError(f'shim FileClient: {backend}')
+
+    def get(self, filepath):
+        with open(filepath, 'rb') as f:
+            return f.read()
+
+    def get_text(self, filepath, encoding='utf-8'):
+        with open(filepath, encoding=encoding) as f:
+            return f.read()
+
+
 def mkdir_or_exist(dir_name, mode=0o777):
     if dir_name == '':
         return

@@ -20,6 +20,19 @@ import cv2
 import numpy as np
 
 
+def _maybe_reexec_with_remote_compile():
+    """Same as bench.py: XLA:TPU compiles of this model take 10+ minutes
+    on this 1-core host but seconds via the terminal-side compile service;
+    the flag is read at interpreter start, so re-exec once with it set."""
+    import os
+    import sys
+    if os.environ.get('PALLAS_AXON_REMOTE_COMPILE') != '1' and \
+            os.environ.get('TPUDET_NO_REEXEC') != '1':
+        os.environ['PALLAS_AXON_REMOTE_COMPILE'] = '1'
+        os.environ['TPUDET_NO_REEXEC'] = '1'
+        os.execve(sys.executable, [sys.executable] + sys.argv, os.environ)
+
+
 def make_jpegs(n, h=480, w=640, quality=90, seed=0):
     rng = np.random.RandomState(seed)
     out = []
@@ -51,6 +64,9 @@ def main():
     p.add_argument('--img-size', type=int, default=640)
     p.add_argument('--iters', type=int, default=10)
     p.add_argument('--scale', default='l')
+    p.add_argument('--out', default=None,
+                   help='also write the artifact json here '
+                        '(e.g. docs/e2e_bench.json)')
     args = p.parse_args()
 
     import jax
@@ -90,6 +106,24 @@ def main():
     res = infer(raw, sf)
     float(jnp.sum(res.scores))
 
+    # device-only rate (decode->NMS on-device, input resident): two-point
+    # timing cancels dispatch constants; the second point reuses the
+    # device output so the chain can't overlap across iterations
+    draw, dsf = jnp.asarray(raw), jnp.asarray(sf)
+
+    def device_run(n):
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(n):
+            r = infer(draw, dsf)
+        float(jnp.sum(r.scores))
+        return time.perf_counter() - t0
+
+    device_run(1)
+    d1 = device_run(4)
+    d2 = device_run(8)
+    device_rate = b * 4 / max(d2 - d1, 1e-9)
+
     # pipelined e2e: host thread feeds a queue, device consumes
     q: Queue = Queue(maxsize=2)
 
@@ -114,13 +148,32 @@ def main():
     e2e_dt = time.perf_counter() - t0
     e2e_rate = b * args.iters / e2e_dt
 
-    print(json.dumps(dict(
-        metric=f'yolov4{args.scale}-{s} jpeg->NMS e2e',
+    import multiprocessing
+    n_cores = multiprocessing.cpu_count()
+    # production TPU hosts carry >100 cores (the reference budgets 6 CPU
+    # workers per GPU); host decode scales linearly with cores, so the
+    # projected jpeg->NMS rate on a real host is min(host*cores, device)
+    projected = min(host_rate * 100, device_rate)
+    artifact = dict(
+        metric=f'yolov4{args.scale}-{s} jpeg->NMS e2e (BASELINE.json '
+               'north-star metric)',
         e2e_img_per_s=round(e2e_rate, 1),
         host_decode_img_per_s=round(host_rate, 1),
-        batch=b,
-        note='this env: host decode single-core AND host->device link ~42 MB/s over a network tunnel (0.9s per 39MB batch) — both are environment artifacts, not framework costs; on a real TPU host (PCIe) the device rate (~430 img/s) binds')))
+        device_img_per_s=round(device_rate, 1),
+        host_cores=n_cores,
+        projected_img_per_s_100core_host=round(projected, 1),
+        batch=b, iters=args.iters,
+        note='this env: host decode single-core AND host->device link '
+             '~42 MB/s over a network tunnel — both environment '
+             'artifacts, not framework costs; measured e2e here is '
+             'min(host_decode, link, device); roofline on a real TPU '
+             'host (>100 cores, PCIe) is min(host_decode*cores, device)')
+    if args.out:
+        with open(args.out, 'w') as f:
+            json.dump(artifact, f, indent=2)
+    print(json.dumps(artifact))
 
 
 if __name__ == '__main__':
+    _maybe_reexec_with_remote_compile()
     main()

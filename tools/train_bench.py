@@ -11,6 +11,19 @@ import time
 import numpy as np
 
 
+def _maybe_reexec_with_remote_compile():
+    """Same as bench.py: XLA:TPU compiles of this model take 10+ minutes
+    on this 1-core host but seconds via the terminal-side compile service;
+    the flag is read at interpreter start, so re-exec once with it set."""
+    import os
+    import sys
+    if os.environ.get('PALLAS_AXON_REMOTE_COMPILE') != '1' and \
+            os.environ.get('TPUDET_NO_REEXEC') != '1':
+        os.environ['PALLAS_AXON_REMOTE_COMPILE'] = '1'
+        os.environ['TPUDET_NO_REEXEC'] = '1'
+        os.execve(sys.executable, [sys.executable] + sys.argv, os.environ)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument('--scale', default='l', choices=['s', 'l'])
@@ -91,6 +104,25 @@ def main():
     state = replicate(state, mesh)
     batch = shard_batch(batch, mesh)
 
+    # XLA's own FLOP count for the WHOLE train step (fwd+bwd+SGD+EMA),
+    # for the MFU report; peak per device kind (bf16 matmul). Lowering
+    # the same jitted step_fn reuses the one compilation below.
+    step_flops = None
+    try:
+        compiled = step_fn.lower(state, batch).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        step_flops = float(ca['flops'])
+    except Exception as e:
+        print(f'cost_analysis unavailable: {e}', file=_sys.stderr)
+    PEAK_BF16 = {  # TFLOP/s per chip
+        'TPU v5 lite': 197.0, 'TPU v5e': 197.0, 'TPU v4': 275.0,
+        'TPU v5p': 459.0, 'TPU v6 lite': 918.0,
+    }
+    kind = jax.devices()[0].device_kind
+    peak_tflops = PEAK_BF16.get(kind)
+
     state, metrics = step_fn(state, batch)
     float(metrics['loss'])  # fetch: the only reliable sync on this backend
 
@@ -108,13 +140,23 @@ def main():
     t2 = run(2 * m_iters)
     dt = max(t2 - t1, 1e-9)
     img_s = b * m_iters / dt
-    print(json.dumps(dict(
+    result = dict(
         metric=f'yolov4{args.scale}-{args.img_size} train step' + (' +device-aug' if args.device_aug else ''),
         img_per_sec=round(img_s, 1),
         ms_per_step=round(dt / m_iters * 1e3, 1),
         batch=b, dtype=args.dtype,
-        loss=float(metrics['loss']))))
+        device=jax.devices()[0].device_kind,
+        loss=float(metrics['loss']))
+    if step_flops is not None:
+        result['step_tflop'] = round(step_flops / 1e12, 3)
+        achieved = step_flops * (m_iters / dt) / 1e12
+        result['achieved_tflops'] = round(achieved, 1)
+        if peak_tflops:
+            result['mfu'] = round(achieved / peak_tflops, 4)
+            result['peak_tflops_bf16'] = peak_tflops
+    print(json.dumps(result))
 
 
 if __name__ == '__main__':
+    _maybe_reexec_with_remote_compile()
     main()

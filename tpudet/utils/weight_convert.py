@@ -84,7 +84,9 @@ def _set_subtree(tree: Dict, path: str, value: Dict) -> None:
 def assign_torch_sequence(variables: Dict[str, Any],
                           flax_order: List[Tuple[str, str]],
                           torch_layers: List[Dict[str, np.ndarray]],
-                          strict: bool = True) -> Dict[str, Any]:
+                          strict: bool = True,
+                          dense_chw_to_hwc: Dict[str, Tuple[int, int, int]]
+                          = None) -> Dict[str, Any]:
     """Assign torch layer tensors (numpy, execution order) into a flax
     variables dict ({'params': ..., 'batch_stats': ...}).
 
@@ -92,6 +94,14 @@ def assign_torch_sequence(variables: Dict[str, Any],
       conv:  kind='conv', weight (O,I,H,W), optional bias (O,)
       bn:    kind='bn', weight, bias, running_mean, running_var
       dense: kind='dense', weight (O,I), optional bias
+
+    ``dense_chw_to_hwc``: {flax-path substring: (C, H, W)} for Dense
+    layers that sit directly on a flattened conv feature map (e.g. the
+    first shared FC of a bbox head on 7x7 RoI features,
+    reference convfc_bbox_head.py:149 ``x.flatten(1)``). Torch flattens
+    (C, H, W) row-major; flax flattens NHWC (H, W, C) — the dense input
+    dimension must be permuted C*H*W -> H*W*C or the converted layer is
+    silently wrong despite matching shapes.
     """
     import flax
     variables = flax.core.unfreeze(variables)
@@ -129,7 +139,14 @@ def assign_torch_sequence(variables: Dict[str, Any],
                                  'conv does not')
         elif kind == 'dense':
             node = _get_subtree(params, path)
-            w = np.transpose(t['weight'], (1, 0))
+            w_t = t['weight']
+            for frag, (c, h, wd) in (dense_chw_to_hwc or {}).items():
+                if frag in path:
+                    o = w_t.shape[0]
+                    w_t = (w_t.reshape(o, c, h, wd)
+                           .transpose(0, 2, 3, 1).reshape(o, h * wd * c))
+                    break
+            w = np.transpose(w_t, (1, 0))
             if node['kernel'].shape != w.shape:
                 raise ValueError(f'dense shape mismatch at {path}: '
                                  f'{node["kernel"].shape} vs {w.shape}')
