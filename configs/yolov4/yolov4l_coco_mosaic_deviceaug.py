@@ -5,7 +5,7 @@
 _base_ = 'yolov4l_coco_mosaic.py'
 
 train_pipeline = [
-    dict(type='LoadImageFromFile'),
+    dict(type='LoadImageFromFile', im_decode_backend='turbojpeg'),
     dict(type='LoadAnnotations', with_bbox=True),
     dict(type='Resize', img_scale=(640, 640), keep_ratio=True),
 ]

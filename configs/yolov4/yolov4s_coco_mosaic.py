@@ -42,7 +42,7 @@ train_pipeline = [
     dict(
         type='MosaicPipeline',
         individual_pipeline=[
-            dict(type='LoadImageFromFile'),
+            dict(type='LoadImageFromFile', im_decode_backend='turbojpeg'),
             dict(type='LoadAnnotations', with_bbox=True),
             dict(type='Resize', img_scale=(640, 640), keep_ratio=True),
         ],

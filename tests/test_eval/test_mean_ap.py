@@ -162,3 +162,20 @@ def test_match_best_only_semantics():
                          np.array([True, False]),
                          np.array([False, False]))
     assert m4[0, 0] == 1
+
+
+def test_more_det_classes_than_dataset_classes():
+    # An 80-class head evaluated on a 1-class dataset: the reference drops
+    # detections for classes beyond the dataset's cat_ids
+    # (/root/reference/mmdet/datasets/coco.py:303-310); the evaluator must
+    # clamp, not IndexError (regression: end-of-train eval with a config
+    # whose head num_classes exceeds the dataset's class list).
+    annotations = [make_anno([[10, 10, 50, 50]], [0])]
+    det = [
+        np.array([[10, 10, 50, 50, 0.9]], np.float32),  # class 0: perfect
+        np.array([[0, 0, 5, 5, 0.8]], np.float32),      # class 1: dropped
+        np.array([[0, 0, 5, 5, 0.7]], np.float32),      # class 2: dropped
+    ]
+    report = eval_map_flexible([det], annotations, iou_thrs=[0.5],
+                               classes=('only',))
+    np.testing.assert_allclose(report['map'], 1.0)

@@ -58,6 +58,32 @@ def decode_letterbox(jpeg: bytes, size: int):
     return canvas, np.array([nw / w, nh / h, nw / w, nh / h], np.float32)
 
 
+def make_host_loader(loader: str, size: int):
+    """Batch jpeg->letterbox fn: list[bytes] -> (imgs[n,s,s,3], sf[n,4]).
+
+    'native' = the fused C++ loader (tpudet/ops/native/jpeg_loader.cc,
+    internal thread pool, GIL-free — the production host path); 'cv2' =
+    the Python loop. Outputs are bit-identical (parity test:
+    tests/test_data/test_jpeg_native.py).
+    """
+    if loader == 'native':
+        from tpudet.ops.native import jpeg_native
+        if jpeg_native.available():
+            def run(jpegs):
+                out, sf, status = jpeg_native.decode_letterbox_batch(
+                    jpegs, size, size, pad_val=0, bgr=True)
+                assert (status == 0).all()
+                return out, sf
+            return run, 'native'
+        loader = 'cv2'  # fall through
+
+    def run(jpegs):
+        items = [decode_letterbox(j, size) for j in jpegs]
+        return (np.stack([x[0] for x in items]),
+                np.stack([x[1] for x in items]))
+    return run, 'cv2'
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument('--batch', type=int, default=32)
@@ -67,6 +93,9 @@ def main():
     p.add_argument('--out', default=None,
                    help='also write the artifact json here '
                         '(e.g. docs/e2e_bench.json)')
+    p.add_argument('--loader', default='native', choices=['native', 'cv2'],
+                   help='host jpeg->letterbox stage: fused C++ loader '
+                        '(default) or the Python cv2 loop')
     args = p.parse_args()
 
     import jax
@@ -90,19 +119,19 @@ def main():
         return res
 
     jpegs = make_jpegs(b * 2)
+    host_load, loader_used = make_host_loader(args.loader, s)
 
     # host-only rate
+    host_load(jpegs[:b])  # warm (builds the .so on first use)
     t0 = time.perf_counter()
     host_batches = 4
     for i in range(host_batches):
-        batch = [decode_letterbox(jpegs[(i + j) % len(jpegs)], s)
-                 for j in range(b)]
+        batch = host_load([jpegs[(i + j) % len(jpegs)] for j in range(b)])
     host_dt = (time.perf_counter() - t0) / host_batches
     host_rate = b / host_dt
 
     # warm device
-    raw = np.stack([x[0] for x in batch])
-    sf = np.stack([x[1] for x in batch])
+    raw, sf = batch
     res = infer(raw, sf)
     float(jnp.sum(res.scores))
 
@@ -129,10 +158,8 @@ def main():
 
     def producer():
         for i in range(args.iters):
-            items = [decode_letterbox(jpegs[(i * b + j) % len(jpegs)], s)
-                     for j in range(b)]
-            q.put((np.stack([x[0] for x in items]),
-                   np.stack([x[1] for x in items])))
+            q.put(host_load([jpegs[(i * b + j) % len(jpegs)]
+                             for j in range(b)]))
         q.put(None)
 
     t = threading.Thread(target=producer, daemon=True)
@@ -161,6 +188,7 @@ def main():
         host_decode_img_per_s=round(host_rate, 1),
         device_img_per_s=round(device_rate, 1),
         host_cores=n_cores,
+        host_loader=loader_used,
         projected_img_per_s_100core_host=round(projected, 1),
         batch=b, iters=args.iters,
         note='this env: host decode single-core AND host->device link '

@@ -49,16 +49,42 @@ class Compose:
 
 @PIPELINES.register_module()
 class LoadImageFromFile:
-    """File -> BGR uint8 ndarray (reference loading.py:12-103)."""
+    """File -> BGR uint8 ndarray (reference loading.py:12-103).
+
+    ``im_decode_backend='turbojpeg'`` mirrors the reference's per-pipeline
+    decode-backend selection (reference loading.py:35-41, config
+    configs/yolov4/yolov4l_coco_mosaic.py:26): JPEG files decode through
+    the native C++ loader (tpudet/ops/native/jpeg_loader.cc — libjpeg-
+    turbo, GIL-free), anything else falls back to cv2. Output is
+    bit-identical between the two backends for baseline JPEGs (parity
+    test: tests/test_data/test_jpeg_native.py).
+    """
 
     def __init__(self, to_float32=False, im_decode_backend='cv2', **kwargs):
         self.to_float32 = to_float32
+        self.native = im_decode_backend in ('turbojpeg', 'native')
+
+    def _read(self, filename):
+        if self.native:
+            try:
+                with open(filename, 'rb') as f:
+                    data = f.read()
+            except OSError:
+                raise FileNotFoundError(filename)
+            if data[:2] == b'\xff\xd8':  # JPEG magic
+                from tpudet.ops.native import jpeg_native
+                img = jpeg_native.decode(data, bgr=True)
+                if img is not None:
+                    return img
+            return cv2.imdecode(np.frombuffer(data, np.uint8),
+                                cv2.IMREAD_COLOR)
+        return cv2.imread(filename, cv2.IMREAD_COLOR)
 
     def __call__(self, results):
         img_info = results['img_info']
         prefix = results.get('img_prefix') or ''
         filename = osp.join(prefix, img_info['filename'])
-        img = cv2.imread(filename, cv2.IMREAD_COLOR)
+        img = self._read(filename)
         if img is None:
             raise FileNotFoundError(filename)
         if self.to_float32:

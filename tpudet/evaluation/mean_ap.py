@@ -275,6 +275,13 @@ class FlexibleStatisticsEval:
         anno['img_shape'] (h, w)."""
         tp_score_info = []
         num_cls = len(det)
+        # A head may predict more classes than the dataset defines (e.g.
+        # an 80-class head evaluated on a 1-class dataset). The reference
+        # drops those detections entirely — CocoDataset.evaluate iterates
+        # range(len(self.cat_ids)) (/root/reference/mmdet/datasets/
+        # coco.py:303-310) — so clamp instead of indexing out of range.
+        if self.classes is not None:
+            num_cls = min(num_cls, len(self.classes))
         num_thr = len(self.iou_thrs)
         gt_bboxes = anno['gt_bboxes']
         gt_labels = anno['gt_labels']
