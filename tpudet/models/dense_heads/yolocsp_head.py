@@ -141,6 +141,45 @@ class YOLOCSPHead(nn.Module):
         cls = jnp.concatenate(clss, axis=1) if clss else None
         return bbox, conf, cls
 
+    def _prefiltered_decode(self, pred_maps, anchor_pre: int):
+        """Objectness top-k in LOGIT space, then decode only the kept
+        anchors.
+
+        Equivalent to ``decode_pred_maps`` + top-k on sigmoid(conf)
+        (sigmoid is monotonic, so the ranking is identical), but the
+        full-grid work disappears: the dense path materializes fp32
+        sigmoid/decode over all ~25k anchors x (5+C) attribs per image
+        before selecting, which measured 27 ms of the 192 ms yolov4l-640
+        batch-128 e2e step; here only the (B, N) conf column is read
+        dense, and sigmoid/decode run on the (B, K, attrib) selection.
+        """
+        gen = self.anchor_generator
+        featmap_sizes = [p.shape[1:3] for p in pred_maps]
+        mlvl_anchors = gen.grid_anchors(featmap_sizes)
+        b = pred_maps[0].shape[0]
+        raw = jnp.concatenate(
+            [p.reshape(b, -1, self.num_attrib) for p in pred_maps], axis=1)
+        anchors = jnp.concatenate(
+            [jnp.asarray(a) for a in mlvl_anchors], axis=0)  # (N, 4)
+        strides = jnp.concatenate([
+            jnp.full((np.prod(fs) * len(self.base_sizes[lvl]),),
+                     float(self.featmap_strides[lvl]), jnp.float32)
+            for lvl, fs in enumerate(featmap_sizes)])  # (N,)
+        from ...core.nms import topk_scores
+        conf_logits = raw[..., 4].astype(jnp.float32)
+        _, top_idx = topk_scores(conf_logits, anchor_pre)  # (B, K)
+        sel = jax.nn.sigmoid(jnp.take_along_axis(
+            raw, top_idx[..., None], axis=1).astype(jnp.float32))
+        xy = sel[..., 0:2] * 2.0 - 1.0
+        wh = (sel[..., 2:4] * 2.0)**2
+        boxes = YOLOV4BBoxCoder.decode(
+            jnp.take(anchors, top_idx, axis=0),
+            jnp.concatenate([xy, wh], axis=-1),
+            jnp.take(strides, top_idx, axis=0))
+        conf = sel[..., 4]
+        cls = None if self.class_agnostic else sel[..., 5:]
+        return boxes, conf, cls
+
     def get_bboxes(self,
                    pred_maps,
                    scale_factors=None,
@@ -177,14 +216,13 @@ class YOLOCSPHead(nn.Module):
         Returns:
             NMSResult with (B, max_per_img, ...) padded detections.
         """
-        bbox, conf, cls = self.decode_pred_maps(pred_maps)
-        if 0 < anchor_pre < conf.shape[1]:
-            from ...core.nms import topk_scores
-            top_conf, top_idx = topk_scores(conf, anchor_pre)
-            bbox = jnp.take_along_axis(bbox, top_idx[..., None], axis=1)
-            conf = top_conf
-            if cls is not None:
-                cls = jnp.take_along_axis(cls, top_idx[..., None], axis=1)
+        num_anchors = sum(
+            int(np.prod(p.shape[1:3])) * len(self.base_sizes[lvl])
+            for lvl, p in enumerate(pred_maps))
+        if 0 < anchor_pre < num_anchors:
+            bbox, conf, cls = self._prefiltered_decode(pred_maps, anchor_pre)
+        else:
+            bbox, conf, cls = self.decode_pred_maps(pred_maps)
         # score = cls * conf (reference :358); class-agnostic uses conf only
         scores = conf[..., None] if cls is None else cls * conf[..., None]
         if scale_factors is not None:
