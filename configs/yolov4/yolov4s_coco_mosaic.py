@@ -21,7 +21,7 @@ model = dict(
         # core/nms.py::class_sorted_nms) — a candidate is only lost if
         # 256 same-class higher-scored candidates outrank it, far
         # tighter than the global flat nms_pre cap, and measured faster
-        # (662 vs 614 img/s/chip yolov4l-640 b128,
+        # (718 vs 614 img/s/chip yolov4l-640 b128,
         # tools/nms_path_bench.py). Exact uncapped semantics remain
         # available via class_pre=0, nms_pre=-1
         # (core/nms.py::dense_class_nms, 287 img/s). Deltas vs exact on
