@@ -100,6 +100,7 @@ def main():
         'vs_baseline': round(imgs_per_sec / BASELINE_V100_FPS, 3),
         'batch': batch,
         'anchor_pre': test_cfg.get('anchor_pre'),
+        'lane_pre': test_cfg.get('lane_pre'),
         'class_pre': test_cfg.get('class_pre'),
         'config_hash': cfg_hash,
     }

@@ -17,18 +17,22 @@ model = dict(
         min_bbox_size=0,
         # Candidate budgets for the padded TPU NMS. The reference runs
         # uncapped (nms_pre=-1, yolov4l_coco_mosaic.py:14-15); tpudet's
-        # shipped default is a PER-CLASS budget (class_pre, see
-        # core/nms.py::class_sorted_nms) — a candidate is only lost if
-        # 256 same-class higher-scored candidates outrank it, far
-        # tighter than the global flat nms_pre cap, and measured faster
-        # (718 vs 614 img/s/chip yolov4l-640 b128,
-        # tools/nms_path_bench.py). Exact uncapped semantics remain
-        # available via class_pre=0, nms_pre=-1
-        # (core/nms.py::dense_class_nms, 287 img/s). Deltas vs exact on
-        # realistic + adversarial score distributions:
-        # tools/nms_budget_ablation.py -> docs/nms_budget_ablation.json.
+        # shipped default is the COMPOSITE budget: a sort-free lane-local
+        # preselection (lane_pre: top-4 of every 128-lane column,
+        # core/nms.py::lane_topk_select) feeding an exact per-class
+        # top-class_pre slice (core/nms.py::class_lane_nms). The NMS
+        # stage drops 24.5 -> 12.4 ms at yolov4l-640 batch 128 vs the
+        # per-class payload sort alone. A candidate is only lost if 4
+        # same-lane OR 256 same-class higher-scored candidates outrank
+        # it; measured 0 missing detections vs the exact uncapped path
+        # on realistic + adversarial distributions
+        # (tools/nms_budget_ablation.py ->
+        # docs/nms_budget_ablation.json, anchor2048_lane4_class256).
+        # Exact uncapped semantics remain available via lane_pre=0,
+        # class_pre=0, nms_pre=-1 (core/nms.py::dense_class_nms).
         anchor_pre=2048,
         nms_pre=-1,
+        lane_pre=4,
         class_pre=256,
         score_thr=0.001,
         nms=dict(type='nms', iou_threshold=0.65),

@@ -17,14 +17,17 @@ from tools.nms_budget_ablation import run_ablation
 def test_budget_exact_at_equivalent_fraction():
     rep = run_ablation(num_anchors=6000, num_classes=20,
                        seeds=(0,), adversarial=(False, True),
-                       budgets=((256, 2048, 0), (1024, 4096, 0),
-                                (1024, -1, 256)))
+                       budgets=((256, 2048, 0, 0), (1024, 4096, 0, 0),
+                                (1024, -1, 256, 0), (1024, 0, 256, 4)))
     for case in rep['cases']:
         generous = case['budgets']['anchor1024_nms4096']
         assert generous['missing_dets'] == 0, case
-        # the shipped-default path: per-class budget, no flat top-k
+        # per-class budget path
         per_class = case['budgets']['anchor1024_class256']
         assert per_class['missing_dets'] == 0, case
+        # the shipped-default composite: lane preselect + per-class slice
+        composite = case['budgets']['anchor1024_lane4_class256']
+        assert composite['missing_dets'] == 0, case
         # the harness must actually DETECT budget-induced loss (the
         # too-small budget drops detections) — guards against a
         # trivially-passing comparator
@@ -40,12 +43,12 @@ def test_committed_report_says_shipped_budgets_exact():
         rep = json.load(f)
     assert rep['num_anchors'] == 25200 and rep['num_classes'] == 80
     for case in rep['cases']:
-        # shipped default: anchor_pre=2048 + per-class budget 256
-        shipped = case['budgets']['anchor2048_class256']
+        # shipped default: anchor_pre=2048 + lane4 preselect + class256
+        shipped = case['budgets']['anchor2048_lane4_class256']
         assert shipped['missing_dets'] == 0, case
-        # the flat nms_pre=8192 fallback stays exact too
-        flat = case['budgets']['anchor2048_nms8192']
-        assert flat['missing_dets'] == 0, case
+        # the per-class-only and flat nms_pre=8192 fallbacks stay exact
+        assert case['budgets']['anchor2048_class256']['missing_dets'] == 0
+        assert case['budgets']['anchor2048_nms8192']['missing_dets'] == 0
 
 
 def test_graft_entry_matches_shipped_config():

@@ -305,7 +305,7 @@ def main():
         return float(ev['map']), float(ev['map50'])
 
     my_map, my_map50 = run_tpudet(
-        'shipped', dict(anchor_pre=2048, class_pre=256))
+        'shipped', dict(anchor_pre=2048, lane_pre=4, class_pre=256))
     my_map_exact, my_map50_exact = run_tpudet('exact', dict(nms_pre=-1))
 
     artifact = dict(

@@ -70,12 +70,19 @@ def synth_candidates(num_anchors, num_classes, num_objects=40, seed=0,
 
 def run_ablation(num_anchors=25200, num_classes=80, score_thr=0.001,
                  iou_thr=0.65, max_per_img=300,
-                 budgets=((1024, 8192, 0),
-                          (2048, 8192, 0),
-                          (4096, 16384, 0),
-                          (2048, 0, 256),  # shipped default (yolov4s/l)
-                          (2048, 0, 300),
-                          (0, 0, 256)),
+                 budgets=((1024, 8192, 0, 0),
+                          (2048, 8192, 0, 0),
+                          (4096, 16384, 0, 0),
+                          (2048, 0, 256, 0),
+                          (2048, 0, 300, 0),
+                          (0, 0, 256, 0),
+                          # lane-local budgets (core/nms.py::
+                          # lane_topk_select): k per 128-lane column
+                          (2048, 0, 0, 2),
+                          (2048, 0, 0, 4),
+                          # composite: lane preselect -> exact per-class
+                          # slice (shipped default, yolov4s/l)
+                          (2048, 0, 256, 4)),
                  seeds=(0, 1, 2), adversarial=(False, True)):
     import jax.numpy as jnp
 
@@ -118,8 +125,10 @@ def run_ablation(num_anchors=25200, num_classes=80, score_thr=0.001,
             [b[keep], s[keep, None], c_idx[keep, None].astype(np.float32)],
             -1)
 
-    def detections(boxes, conf, cls, anchor_pre, nms_pre, class_pre=0):
-        if not anchor_pre and not nms_pre and not class_pre:
+    def detections(boxes, conf, cls, anchor_pre, nms_pre, class_pre=0,
+                   lane_pre=0):
+        if not anchor_pre and not nms_pre and not class_pre and \
+                not lane_pre:
             return exact_numpy(boxes, conf, cls)
         b = jnp.asarray(boxes)[None]
         cf = jnp.asarray(conf)[None]
@@ -131,9 +140,15 @@ def run_ablation(num_anchors=25200, num_classes=80, score_thr=0.001,
             cf = top_conf
             cl = jnp.take_along_axis(cl, top_idx[..., None], axis=1)
         scores = cl * cf[..., None]
-        if class_pre:
-            # shipped fast path: per-class candidate budget
-            # (core/nms.py::class_sorted_nms)
+        if lane_pre:
+            # lane-local per-class budget (core/nms.py::class_lane_nms);
+            # with class_pre also set, the composite budget
+            from tpudet.core.nms import batched_class_lane_nms
+            res = batched_class_lane_nms(b, scores, score_thr, iou_thr,
+                                         max_per_img, lane_pre=lane_pre,
+                                         class_pre=class_pre)
+        elif class_pre:
+            # per-class candidate budget (core/nms.py::class_sorted_nms)
             res = batched_class_sorted_nms(b, scores, score_thr, iou_thr,
                                            max_per_img, class_pre=class_pre)
         else:
@@ -182,11 +197,20 @@ def run_ablation(num_anchors=25200, num_classes=80, score_thr=0.001,
                     'exact_min_score': float(exact[:, 4].min())
                     if len(exact) else None,
                     'budgets': {}}
-            for (a_pre, n_pre, c_pre) in budgets:
-                capped = detections(boxes, conf, cls, a_pre, n_pre, c_pre)
+            for budget in budgets:
+                a_pre, n_pre, c_pre = budget[:3]
+                l_pre = budget[3] if len(budget) > 3 else 0
+                capped = detections(boxes, conf, cls, a_pre, n_pre, c_pre,
+                                    l_pre)
                 missing = match_sets(exact, capped)
-                tag = (f'anchor{a_pre}_class{c_pre}' if c_pre
-                       else f'anchor{a_pre}_nms{n_pre}')
+                if l_pre and c_pre:
+                    tag = f'anchor{a_pre}_lane{l_pre}_class{c_pre}'
+                elif l_pre:
+                    tag = f'anchor{a_pre}_lane{l_pre}'
+                elif c_pre:
+                    tag = f'anchor{a_pre}_class{c_pre}'
+                else:
+                    tag = f'anchor{a_pre}_nms{n_pre}'
                 case['budgets'][tag] = {
                     'num_dets': int(len(capped)),
                     'missing_dets': len(missing),

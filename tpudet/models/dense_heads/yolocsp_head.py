@@ -189,6 +189,7 @@ class YOLOCSPHead(nn.Module):
                    nms_pre: int = 2048,
                    anchor_pre: int = 2048,
                    class_pre: int = 0,
+                   lane_pre: int = 0,
                    with_nms: bool = True,
                    nms_type: str = 'nms',
                    sigma: float = 0.5,
@@ -230,6 +231,15 @@ class YOLOCSPHead(nn.Module):
         if not with_nms:
             return bbox, scores
         total = scores.shape[1] * scores.shape[2]
+        if nms_type == 'nms' and lane_pre > 0:
+            # lane-local per-class budget: sort-free selection
+            # (core/nms.py::lane_topk_select), exact blocked greedy tail;
+            # class_pre > 0 adds an exact per-class slice of the
+            # preselection (composite budget, see class_lane_nms)
+            from ...core.nms import batched_class_lane_nms
+            return batched_class_lane_nms(bbox, scores, score_thr, iou_thr,
+                                          max_per_img, lane_pre=lane_pre,
+                                          class_pre=class_pre)
         if nms_type == 'nms' and (class_pre > 0 or nms_pre <= 0):
             from ...core.nms import (batched_class_sorted_nms,
                                      batched_dense_class_nms)
