@@ -24,6 +24,12 @@ def parse_args():
                    help='flip test-time augmentation with merged-candidate '
                         'NMS (reference MultiScaleFlipAug + '
                         'aug_test_bboxes); single-stage models')
+    p.add_argument('--coordinator', default=None,
+                   help='jax.distributed coordinator address (multi-host '
+                        'sharded eval; reference tools/dist_test.sh '
+                        'launches multi_gpu_test the same way)')
+    p.add_argument('--num-processes', type=int, default=None)
+    p.add_argument('--process-id', type=int, default=None)
     p.add_argument('--out', help='dump results json')
     p.add_argument('--format-out',
                    help='dump detections in interchange COCO-result format '
@@ -41,7 +47,9 @@ def main():
     from tpudet.data.dataset import build_dataset
     from tpudet.evaluation.mean_ap import (coco_fast_bbox_eval,
                                            coco_fast_segm_eval)
+    from tpudet.parallel.mesh import init_distributed
 
+    init_distributed(args.coordinator, args.num_processes, args.process_id)
     cfg = Config.fromfile(args.config)
     det = init_detector(cfg, args.checkpoint)
     dataset = build_dataset({**cfg['data']['test'], 'test_mode': True})

@@ -138,7 +138,8 @@ def single_device_test(model, variables, dataset, batch_size: int = 8,
                        gather: bool = True, tta: bool = False,
                        tta_score_thr: float = 0.001,
                        tta_iou_thr: float = 0.65,
-                       tta_max_per_img: int = 300):
+                       tta_max_per_img: int = 300,
+                       infer_fn=None):
     """Run detection over a test-mode dataset; returns per-image per-class
     results aligned with dataset order.
 
@@ -153,7 +154,14 @@ def single_device_test(model, variables, dataset, batch_size: int = 8,
     With ``with_masks=True`` (and a mask-capable detector) returns
     ``(bbox_results, segm_results)`` like the reference's two-tuple
     simple_test output (mmdet/models/detectors/two_stage.py simple_test
-    + encode_mask_results)."""
+    + encode_mask_results).
+
+    ``infer_fn`` overrides the default jitted inference closure on the
+    plain (non-TTA, non-mask) path — used by the deployment eval tool
+    (tools/deployment/test.py, the reference ONNXRuntimeDetector-eval
+    analogue, tools/deployment/test.py:1-60) to drive a serialized
+    exported model through the exact same eval protocol. Signature:
+    ``infer_fn(variables, img, scale_factor, img_hw) -> NMSResult``."""
     import jax
     import jax.numpy as jnp
 
@@ -179,6 +187,9 @@ def single_device_test(model, variables, dataset, batch_size: int = 8,
 
     if tta and mode is not None:
         raise ValueError('TTA with masks is not supported')
+
+    if infer_fn is not None and (tta or with_masks):
+        raise ValueError('infer_fn override only supports the plain path')
 
     @jax.jit
     def infer(variables, img, scale_factor, img_hw):
@@ -239,8 +250,8 @@ def single_device_test(model, variables, dataset, batch_size: int = 8,
             img_hw = np.array([m['img_shape'][:2] if m.get('img_shape')
                                else batch['img'].shape[1:3]
                                for m in batch['img_metas']], np.float32)
-            res = infer(variables, batch['img'], batch['scale_factor'],
-                        img_hw)
+            res = (infer_fn or infer)(variables, batch['img'],
+                                      batch['scale_factor'], img_hw)
         else:
             res, mask_probs = infer_masks(variables, batch['img'],
                                           batch['scale_factor'])
