@@ -2,9 +2,6 @@
 """Stitch result images (e.g. from tools/analysis_tools/analyze_results.py)
 into an animated GIF (reference demo/create_result_gif.py analogue;
 imageio/matplotlib replaced by PIL, which this environment ships)."""
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
-
 import argparse
 import glob
 import os.path as osp
@@ -32,11 +29,15 @@ def main():
     if not paths:
         raise SystemExit(f'no images matching {args.pattern} in '
                          f'{args.image_dir}')
-    frames = [Image.open(p).convert('P', palette=Image.ADAPTIVE)
-              for p in paths]
-    frames[0].save(args.out, save_all=True, append_images=frames[1:],
-                   duration=args.duration_ms, loop=0)
-    print(f'wrote {len(frames)} frames to {args.out}')
+    # stream frames: decode lazily via a generator so long high-res
+    # sequences never hold every decoded frame in memory at once (PIL
+    # consumes append_images iteratively during save)
+    first = Image.open(paths[0]).convert('P', palette=Image.ADAPTIVE)
+    rest = (Image.open(p).convert('P', palette=Image.ADAPTIVE)
+            for p in paths[1:])
+    first.save(args.out, save_all=True, append_images=rest,
+               duration=args.duration_ms, loop=0)
+    print(f'wrote {len(paths)} frames to {args.out}')
 
 
 if __name__ == '__main__':

@@ -70,10 +70,11 @@ def mask_to_annotation(mask, category_id, iscrowd):
                 iscrowd=iscrowd)
 
 
-def convert_image(inst_file):
+def convert_image(inst_file, inst_img=None):
     """One instanceIds png -> list of COCO instance dicts."""
-    import cv2
-    inst_img = cv2.imread(inst_file, cv2.IMREAD_UNCHANGED)
+    if inst_img is None:
+        import cv2
+        inst_img = cv2.imread(inst_file, cv2.IMREAD_UNCHANGED)
     assert inst_img is not None, f'cannot read {inst_file}'
     anns = []
     for inst_id in np.unique(inst_img):
@@ -95,11 +96,15 @@ def convert(root, img_dir, gt_dir):
     print(f'Loaded {len(files)} images from {img_dir}')
     for img_id, (img_file, inst_file) in enumerate(files, 1):
         import cv2
-        h, w = cv2.imread(inst_file, cv2.IMREAD_UNCHANGED).shape[:2]
+        # read the (large 16-bit) instance png once: shape for the image
+        # record, pixels for the annotation extraction
+        inst_img = cv2.imread(inst_file, cv2.IMREAD_UNCHANGED)
+        assert inst_img is not None, f'cannot read {inst_file}'
+        h, w = inst_img.shape[:2]
         images.append(dict(id=img_id, width=w, height=h,
                            file_name=osp.relpath(img_file,
                                                  osp.join(root, img_dir))))
-        for ann in convert_image(inst_file):
+        for ann in convert_image(inst_file, inst_img=inst_img):
             ann_id += 1
             ann.update(id=ann_id, image_id=img_id)
             annotations.append(ann)

@@ -33,7 +33,7 @@ def parse_args():
     return p.parse_args()
 
 
-def load_exported_infer_fn(path, batch_size):
+def load_exported_infer_fn(path, batch_size, img_size=None):
     """Rehydrate the artifact into a single_device_test infer_fn.
 
     The exported program is shape-static at ``batch_size``; tail batches
@@ -46,6 +46,23 @@ def load_exported_infer_fn(path, batch_size):
 
     with open(path, 'rb') as f:
         exp = jexport.deserialize(bytearray(f.read()))
+
+    # fail with a clear message when the CLI's shapes don't match what the
+    # artifact was exported with, instead of an opaque aval mismatch from
+    # exp.call (image input is (B, H, W, 3))
+    img_aval = exp.in_avals[0]
+    exp_batch, exp_h, exp_w = (img_aval.shape[0], img_aval.shape[1],
+                               img_aval.shape[2])
+    if exp_batch != batch_size:
+        raise SystemExit(
+            f'artifact was exported at batch_size={exp_batch} but '
+            f'--batch-size={batch_size}; rerun with '
+            f'--batch-size {exp_batch} or re-export')
+    if img_size is not None and (exp_h, exp_w) != (img_size, img_size):
+        raise SystemExit(
+            f'artifact was exported at {exp_h}x{exp_w} input but '
+            f'--img-size={img_size}; rerun with --img-size {exp_h} '
+            f'or re-export')
 
     def infer_fn(variables, img, scale_factor, img_hw):
         del variables  # weights are baked into the artifact
@@ -86,7 +103,8 @@ def main():
     # they live inside the exported artifact
     model = build_detector(dict(cfg['model']))
     dataset = build_dataset({**cfg['data']['test'], 'test_mode': True})
-    infer_fn = load_exported_infer_fn(args.model, args.batch_size)
+    infer_fn = load_exported_infer_fn(args.model, args.batch_size,
+                                      img_size=args.img_size)
     results = single_device_test(model, None, dataset,
                                  batch_size=args.batch_size,
                                  img_size=args.img_size,

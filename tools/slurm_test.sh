@@ -13,7 +13,7 @@ NTASKS=${NTASKS:-1}
 CPUS_PER_TASK=${CPUS_PER_TASK:-16}
 COORD_PORT=${COORD_PORT:-8476}
 SRUN_ARGS=${SRUN_ARGS:-""}
-PY_ARGS=${@:5}
+PY_ARGS=("${@:5}")
 
 srun -p ${PARTITION} \
     --job-name=${JOB_NAME} \
@@ -22,7 +22,9 @@ srun -p ${PARTITION} \
     --cpus-per-task=${CPUS_PER_TASK} \
     --kill-on-bad-exit=1 \
     ${SRUN_ARGS} \
-    bash -c 'COORD=$(scontrol show hostnames "$SLURM_JOB_NODELIST" | head -n1):'"${COORD_PORT}"'; \
-        python -u tools/test.py '"${CONFIG}"' '"${CHECKPOINT}"' \
+    bash -c 'COORD=$(scontrol show hostnames "$SLURM_JOB_NODELIST" | head -n1):"$0"; \
+        CONFIG=$1; CHECKPOINT=$2; shift 2; \
+        python -u tools/test.py "$CONFIG" "$CHECKPOINT" \
         --num-processes "$SLURM_NTASKS" --process-id "$SLURM_PROCID" \
-        --coordinator "$COORD" '"${PY_ARGS}"
+        --coordinator "$COORD" "$@"' \
+    "${COORD_PORT}" "${CONFIG}" "${CHECKPOINT}" "${PY_ARGS[@]}"

@@ -75,6 +75,13 @@ def main():
         report.update(coco_fast_segm_eval(results, segm_results,
                                           annotations,
                                           classes=dataset.CLASSES))
+    # multi-host: results are all-gathered so every process holds the full
+    # report, but only host 0 prints/writes — N hosts racing on the same
+    # shared-FS paths corrupt them (reference gates eval on rank 0,
+    # /root/reference/tools/test.py:215).
+    import jax
+    if jax.process_index() != 0:
+        return
     print(json.dumps(report, indent=2))
     if args.out:
         with open(args.out, 'w') as f:
