@@ -1,0 +1,4 @@
+# reference configs/cascade_rcnn/cascade_rcnn_r50_fpn_20e_coco.py
+_base_ = './cascade_rcnn_r50_fpn_1x_coco.py'
+lr_config = dict(policy='step', step=[16, 19], gamma=0.1)
+runner = dict(max_epochs=20)

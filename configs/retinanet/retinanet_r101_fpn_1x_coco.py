@@ -1,0 +1,3 @@
+# reference configs/retinanet/retinanet_r101_fpn_1x_coco.py
+_base_ = './retinanet_r50_fpn_1x_coco.py'
+model = dict(backbone=dict(depth=101))

@@ -1,0 +1,20 @@
+# Multi-scale training variant (reference
+# configs/retinanet/retinanet_r50_caffe_fpn_mstrain_1x_coco.py pattern:
+# per-sample scale pick from 640..800 long-edge-1333 scales;
+# tpudet Resize multiscale_mode='value').
+_base_ = './retinanet_r50_fpn_1x_coco.py'
+img_norm_cfg = dict(
+    mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375],
+    to_rgb=True)
+train_pipeline = [
+    dict(type='LoadImageFromFile'),
+    dict(type='LoadAnnotations', with_bbox=True),
+    dict(type='Resize',
+         img_scale=[(1333, 640), (1333, 672), (1333, 704), (1333, 736),
+                    (1333, 768), (1333, 800)],
+         multiscale_mode='value', keep_ratio=True),
+    dict(type='RandomFlip', flip_ratio=0.5),
+    dict(type='Normalize', **img_norm_cfg),
+    dict(type='Pad', size_divisor=32),
+]
+data = dict(train=dict(pipeline=train_pipeline))

@@ -1,0 +1,4 @@
+# reference configs/retinanet/retinanet_r50_caffe_fpn_mstrain_3x_coco.py
+_base_ = './retinanet_r50_fpn_mstrain_1x_coco.py'
+lr_config = dict(policy='step', step=[28, 34], gamma=0.1)
+runner = dict(max_epochs=36)

@@ -95,11 +95,19 @@ def train_detector(cfg: Config,
     nominal = cfg.get('nominal_batch_size', global_batch)
     accumulation = max(1, -(-nominal // global_batch))
 
+    # In a REAL multi-process run each process loads only its slice of
+    # the global batch (assembled by parallel/mesh.py::shard_batch via
+    # make_array_from_process_local_data). Derived from device
+    # attributes, not jax.process_count(), so the monkeypatched
+    # single-process multihost simulations keep whole-batch loading.
+    n_proc_real = len({d.process_index for d in jax.devices()})
+    loader_batch = global_batch * accumulation // n_proc_real
+
     device_aug = cfg['data'].get('device_aug')  # dict -> on-device mosaic
     if device_aug is not None:
         from ..data.loader import MosaicTileLoader
         loader = MosaicTileLoader(
-            dataset, batch_size=global_batch * accumulation,
+            dataset, batch_size=loader_batch,
             tile_size=cfg['data'].get('train_img_size', 640),
             max_gts_per_tile=cfg['data'].get('max_gts', 120) // 4,
             num_workers=cfg['data'].get('workers_per_gpu', 2),
@@ -107,7 +115,7 @@ def train_detector(cfg: Config,
             process_count=jax.process_count())
     else:
         loader = DetDataLoader(
-            dataset, batch_size=global_batch * accumulation,
+            dataset, batch_size=loader_batch,
             max_gts=cfg['data'].get('max_gts', 120),
             img_size=cfg['data'].get('train_img_size', 640),
             num_workers=cfg['data'].get('workers_per_gpu', 2),
@@ -127,6 +135,10 @@ def train_detector(cfg: Config,
     total_steps = steps_per_epoch * max_epochs
     if max_steps is not None:
         total_steps = min(total_steps, max_steps)
+    logger.info(
+        f'devices {n_dev} global / {jax.local_device_count()} local, '
+        f'process {jax.process_index()}/{jax.process_count()}, '
+        f'global batch {global_batch} x accumulation {accumulation}')
 
     model_cfg = dict(cfg['model'])
     if cfg.get('compute_dtype') == 'bfloat16':
@@ -296,6 +308,14 @@ def train_detector(cfg: Config,
         if max_steps is not None and step >= max_steps:
             break
 
+    # every process logs a checksum over its (replicated) final params:
+    # in a multi-process run equal checksums across the per-process logs
+    # prove the SPMD state stayed consistent (a desynced process would
+    # have trained on its own shard only and diverged)
+    checksum = float(sum(
+        np.abs(np.asarray(jax.device_get(x), np.float64)).sum()
+        for x in jax.tree.leaves(state.params)))
+    logger.info(f'final param checksum {checksum:.9e} at step {step}')
     if jax.process_index() == 0:
         # publish EMA weights for inference (reference: EMA swap before
         # CheckpointHook, ema_hooks.py:97-126)

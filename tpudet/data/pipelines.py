@@ -155,16 +155,44 @@ def rescale_size(h: int, w: int, scale: Tuple[int, int]):
 @PIPELINES.register_module()
 class Resize:
     """keep_ratio letterbox-half resize (reference transforms.py:27-318:
-    mmcv.imrescale + recorded (w, h, w, h) scale_factor)."""
+    mmcv.imrescale + recorded (w, h, w, h) scale_factor).
 
-    def __init__(self, img_scale=None, keep_ratio=True, backend='cv2'):
-        if img_scale is not None and not isinstance(img_scale, (list, tuple)):
-            img_scale = (img_scale, img_scale)
-        self.img_scale = tuple(img_scale) if img_scale else None
+    Multi-scale training (reference ``Resize.random_select`` /
+    ``random_sample``, transforms.py:100-140): pass a LIST of (long,
+    short) scales — ``multiscale_mode='value'`` picks one per sample,
+    ``'range'`` (with exactly two scales) samples each edge uniformly
+    between them. Used by the mstrain config variants
+    (e.g. configs/retinanet/retinanet_r50_fpn_mstrain_1x_coco.py).
+    """
+
+    def __init__(self, img_scale=None, keep_ratio=True, backend='cv2',
+                 multiscale_mode='range'):
+        if (isinstance(img_scale, (list, tuple)) and img_scale
+                and isinstance(img_scale[0], (list, tuple))):
+            self.img_scale = [tuple(s) for s in img_scale]
+        elif img_scale is not None:
+            if not isinstance(img_scale, (list, tuple)):
+                img_scale = (img_scale, img_scale)
+            self.img_scale = tuple(img_scale)
+        else:
+            self.img_scale = None
+        assert multiscale_mode in ('value', 'range')
+        self.multiscale_mode = multiscale_mode
         self.keep_ratio = keep_ratio
 
+    def _pick_scale(self):
+        if not isinstance(self.img_scale, list):
+            return self.img_scale
+        if self.multiscale_mode == 'value' or len(self.img_scale) != 2:
+            return random.choice(self.img_scale)
+        (l0, s0), (l1, s1) = self.img_scale
+        return (random.randint(min(l0, l1), max(l0, l1)),
+                random.randint(min(s0, s1), max(s0, s1)))
+
     def __call__(self, results):
-        scale = results.get('scale', self.img_scale)
+        scale = results.get('scale', None)
+        if scale is None:
+            scale = self._pick_scale()
         img = results['img']
         h, w = img.shape[:2]
         if self.keep_ratio:
