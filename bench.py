@@ -53,7 +53,7 @@ def main():
 
     enable_persistent_cache()
 
-    batch = 128
+    batch = int(os.environ.get('TPUDET_BENCH_BATCH', '128'))
     model = _flagship_model(dtype=jnp.bfloat16)
     img = jnp.asarray(
         np.random.RandomState(0).rand(batch, 640, 640, 3), jnp.bfloat16)
