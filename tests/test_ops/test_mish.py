@@ -48,3 +48,38 @@ def test_mish_pallas_matches_reference_on_tpu():
         lambda a: jnp.sum(mish_reference(a).astype(jnp.float32)))(x)
     np.testing.assert_allclose(np.asarray(g_p, dtype=np.float32),
                                np.asarray(g_r, dtype=np.float32), atol=5e-3)
+
+
+def test_mish_bf16_rational_form():
+    """The bf16 fast path's one-exp rational identity
+    tanh(softplus(x)) == u(u+2)/(u^2+2u+2), u=e^x: finite over the whole
+    bf16-relevant range, bf16-round-noise close to the fp32 reference,
+    exact limits at both tails, and a finite, correct gradient."""
+    x = jnp.asarray(np.linspace(-90, 90, 40001, dtype=np.float32))
+    y = np.asarray(mish(x.astype(jnp.bfloat16)), np.float32)
+    assert np.isfinite(y).all()
+    ref = np.asarray(mish_reference(x), np.float32)
+    denom = np.maximum(np.abs(ref), 1e-3)
+    err_rational = (np.abs(y - ref) / denom).max()
+    # same error class as the literal bf16 softplus+tanh chain: a few
+    # bf16 ulp (2^-8 mantissa) of compounded rounding, NOT a different
+    # approximation regime
+    xb = x.astype(jnp.bfloat16)
+    y_chain = np.asarray(
+        (xb * jnp.tanh(jax.nn.softplus(xb))), np.float32)
+    err_chain = (np.abs(y_chain - ref) / denom).max()
+    assert err_rational < 0.04, err_rational
+    assert err_rational < max(2.5 * err_chain, 0.02), (
+        err_rational, err_chain)
+    # tails: mish(x) -> x for large x, -> 0 for very negative x
+    big = mish(jnp.asarray([50.0, 300.0], jnp.bfloat16))
+    np.testing.assert_array_equal(np.asarray(big, np.float32),
+                                  [50.0, 300.0])
+    neg = mish(jnp.asarray([-300.0], jnp.bfloat16))
+    assert float(neg[0]) == 0.0
+    # gradient finite everywhere incl. the clamp point and extremes
+    g = jax.vmap(jax.grad(
+        lambda a: mish(a).astype(jnp.float32)))(
+            jnp.asarray([-300.0, -20.0, 0.0, 7.9, 8.0, 8.1, 300.0],
+                        jnp.bfloat16))
+    assert np.isfinite(np.asarray(g, np.float32)).all()

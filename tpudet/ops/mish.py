@@ -34,10 +34,32 @@ def mish(x: jax.Array) -> jax.Array:
     unnecessary and the upcast would double VPU work across every conv in
     the network. fp32 inputs still compute in fp32 (bit-compatible with
     `mish_reference` for parity runs).
+
+    The bf16 path uses the ONE-exp rational identity
+
+        tanh(softplus(x)) = u(u+2) / (u^2 + 2u + 2),   u = e^x
+
+    (substitute e^softplus(x) = 1+e^x into tanh's exponential form)
+    instead of the literal softplus+tanh chain: one transcendental + one
+    divide replaces three polynomial-approximated transcendentals on the
+    VPU. Measured on the yolov4l-640 batch-128 e2e bench this is worth
+    +8% end-to-end (774 -> 837 img/s; an identity activation bounds the
+    total mish cost at 856, so the rational form recovers ~80% of it).
+    Past x=8 the function saturates to identity explicitly (see inline
+    note); numerics are bf16 round-noise equivalent to the previous
+    path (most bf16 inputs bit-identical; error vs the fp32 reference
+    stays within a few bf16 ulp, same class as the literal chain —
+    pinned by tests/test_ops/test_mish.py::test_mish_bf16_rational_form).
     """
     if x.dtype == jnp.float32:
         return mish_reference(x)
-    return x * jnp.tanh(jax.nn.softplus(x))
+    # clamp at 8: past it tanh(softplus(x)) is 1.0 in bf16, and with
+    # u = e^8 ~ 3e3 the +2u+2 terms fall below one ulp of u^2, so
+    # numerator and denominator round to the SAME value and the ratio
+    # saturates to exactly 1.0 — no select needed (a jnp.where here
+    # measured -27 img/s on the e2e bench)
+    u = jnp.exp(jnp.minimum(x, jnp.asarray(8.0, x.dtype)))
+    return x * (u * (u + 2.0)) / (u * u + 2.0 * u + 2.0)
 
 
 def _mish_fwd_kernel(x_ref, o_ref):
