@@ -33,8 +33,18 @@ jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
 
 def pytest_collection_modifyitems(config, items):
     """Auto-mark the long-running categories `slow` so `-m "not slow"`
-    gives a fast (<~15 min on this 1-core host) signal; the full suite
-    (incl. the live-reference oracle tests) stays the complete gate."""
+    gives a fast (≤15 min on this 1-core host) signal; the full plain
+    ``pytest tests/`` run (incl. the live-reference oracle tests and
+    every model-family composite) stays the complete gate.
+
+    Round-5 profiling (--durations over the whole non-slow suite) showed
+    tests/test_models/ alone costs ~50 of the gate's 63 minutes — each
+    family test jit-compiles a full detector. The fast gate therefore
+    keeps only the flagship-critical model tests (YOLO decode parity,
+    config-driven forward incl. the empty-gt corner case) and demotes
+    the per-family composites; they still run in the full suite, and
+    every config file still BUILDS in the fast gate via
+    test_runtime/test_config.py."""
     import pytest
     slow_fragments = (
         '/ref_oracle/',            # imports + runs the torch reference
@@ -45,8 +55,28 @@ def pytest_collection_modifyitems(config, items):
         'test_sharded_eval',       # 8-device eval loops
         'test_train_api',          # train_detector end-to-end runs
         'test_pisa_ld',            # full detector losses
+        'test_multihost_train',    # train_detector under simulated hosts
+    )
+    # model-layer tests kept in the fast gate (fast AND on the flagship
+    # critical path); everything else under tests/test_models/ is slow
+    fast_model_keep = (
+        'test_yolocsp_decode',     # prefiltered == dense decode pin
+        'test_detector_forward_loss_and_bboxes',  # config-driven fwd
+        'test_empty_gt_batch_loss_finite',        # the standard corner
+        'test_s2d_stem.py::test_param_tree_identical',
+    )
+    # individually-profiled heavy train-step tests (the fast gate keeps
+    # test_train_step_runs_and_decreases_loss as the representative)
+    slow_tests = (
+        'test_grad_accumulation_sums_micro_grads',
+        'test_graft_dryrun_multichip',   # the driver runs this itself
+        'test_train_step_multidevice_matches_single_device',
     )
     for item in items:
         p = str(item.fspath)
-        if any(f in p for f in slow_fragments):
+        nid = item.nodeid
+        if any(f in p for f in slow_fragments) or \
+                any(t in nid for t in slow_tests) or \
+                ('/test_models/' in p
+                 and not any(k in nid for k in fast_model_keep)):
             item.add_marker(pytest.mark.slow)
