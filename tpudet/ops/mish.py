@@ -51,7 +51,10 @@ def mish(x: jax.Array) -> jax.Array:
     stays within a few bf16 ulp, same class as the literal chain —
     pinned by tests/test_ops/test_mish.py::test_mish_bf16_rational_form).
     """
-    if x.dtype == jnp.float32:
+    if x.dtype != jnp.bfloat16:
+        # fp32 computes the literal chain (bit-compatible with the
+        # reference kernel); fp16 upcasts exactly like the reference
+        # (mish.h:37-42) — its 5-bit exponent would overflow u^2 below
         return mish_reference(x)
     # clamp at 8: past it tanh(softplus(x)) is 1.0 in bf16, and with
     # u = e^8 ~ 3e3 the +2u+2 terms fall below one ulp of u^2, so
