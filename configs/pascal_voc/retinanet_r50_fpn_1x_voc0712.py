@@ -1,0 +1,13 @@
+# reference configs/pascal_voc/retinanet_r50_fpn_1x_voc0712.py
+_base_ = '../retinanet/retinanet_r50_fpn_1x_coco.py'
+model = dict(bbox_head=dict(num_classes=20))
+data = dict(
+    train=dict(type='VOCDataset',
+               ann_file='data/VOCdevkit/VOC2007/ImageSets/Main/trainval.txt',
+               img_prefix='data/VOCdevkit/VOC2007/'),
+    val=dict(type='VOCDataset',
+             ann_file='data/VOCdevkit/VOC2007/ImageSets/Main/test.txt',
+             img_prefix='data/VOCdevkit/VOC2007/', test_mode=True),
+    test=dict(type='VOCDataset',
+              ann_file='data/VOCdevkit/VOC2007/ImageSets/Main/test.txt',
+              img_prefix='data/VOCdevkit/VOC2007/', test_mode=True))
