@@ -219,3 +219,56 @@ def test_results2json_interchange(tiny_coco, tmp_path):
     seg = json.load(open(paths['segm']))
     assert seg[0]['segmentation']['counts'] == [10, 5, 4081]
     assert seg[0]['bbox'] == d['bbox']
+
+
+def test_resize_multiscale_modes():
+    """Multi-scale training Resize (reference transforms.py:100-140
+    random_select/random_sample): 'value' picks one of the listed
+    scales per sample; 'range' samples each edge between the two
+    bounds. Both keep_ratio-rescale within the picked scale and record
+    a consistent (w, h, w, h) scale_factor."""
+    import random as _random
+
+    from tpudet.data.pipelines import Resize
+
+    scales = [(1333, 640), (1333, 672), (1333, 704)]
+    r = Resize(img_scale=scales, multiscale_mode='value')
+    _random.seed(0)
+    seen = set()
+    for _ in range(24):
+        out = r(dict(img=np.zeros((480, 640, 3), np.uint8),
+                     bbox_fields=[]))
+        h, w = out['img'].shape[:2]
+        # the rescaled long/short edges fit one of the listed scales
+        long_edges = {s[0] for s in scales}
+        short_edges = {s[1] for s in scales}
+        assert max(h, w) <= max(long_edges)
+        assert min(h, w) in short_edges or max(h, w) in long_edges
+        seen.add((h, w))
+        sf = out['scale_factor']
+        np.testing.assert_allclose(sf[0], w / 640, rtol=1e-6)
+        np.testing.assert_allclose(sf[1], h / 480, rtol=1e-6)
+    assert len(seen) > 1, 'value mode never varied the scale'
+
+    r = Resize(img_scale=[(1333, 480), (1333, 800)],
+               multiscale_mode='range')
+    _random.seed(1)
+    shorts = set()
+    for _ in range(24):
+        out = r(dict(img=np.zeros((500, 500, 3), np.uint8),
+                     bbox_fields=[]))
+        h, w = out['img'].shape[:2]
+        assert 480 - 1 <= min(h, w) <= 800 + 1
+        shorts.add(min(h, w))
+    assert len(shorts) > 4, 'range mode did not sample a spread'
+
+    # single-scale behavior unchanged
+    r = Resize(img_scale=(640, 640))
+    out = r(dict(img=np.zeros((480, 640, 3), np.uint8), bbox_fields=[]))
+    assert out['img'].shape[:2] == (480, 640)
+
+    # an explicit results['scale'] (MultiScaleFlipAug) still wins
+    r = Resize(img_scale=scales, multiscale_mode='value')
+    out = r(dict(img=np.zeros((480, 640, 3), np.uint8), bbox_fields=[],
+                 scale=(320, 320)))
+    assert max(out['img'].shape[:2]) <= 320
